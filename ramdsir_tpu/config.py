@@ -1,0 +1,95 @@
+"""Configuration dataclasses.
+
+The reference keeps its configuration implicit in code (argparse defaults and
+hard-coded tables in `code/train.py:35-45`, `:616-621`, band width L=0.1 at
+`code/dataset/fundus.py:214`).  Here those constants are promoted to a typed
+config so every entry point shares one source of truth.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+# Per-target-domain sub-batch sizes for the source-domain loaders.
+# Reference: code/train.py:35-38 (fundus), :40-45 (prostate).
+FUNDUS_BATCH_LIST: List[List[int]] = [
+    [3, 6, 7],
+    [2, 7, 7],
+    [2, 4, 10],
+    [2, 4, 10],
+]
+PROSTATE_BATCH_LIST: List[List[int]] = [[2] * 5 for _ in range(6)]
+
+# Domain name tables. Reference: code/dataset/fundus.py:69,
+# code/dataset/prostate.py:68, code/train.py:77.
+FUNDUS_DOMAINS = ["Domain1", "Domain2", "Domain3", "Domain4"]
+PROSTATE_DOMAINS = ["Domain1", "Domain2", "Domain3", "Domain4", "Domain5", "Domain6"]
+PROSTATE_VOLUME_DOMAINS = ["ISBI", "ISBI_1.5", "I2CVB", "UCL", "BIDMC", "HK"]
+
+# Defaults per dataset. Reference: code/train.py:616-621.
+DATASET_EPOCHS = {"fundus": 400, "prostate": 200}
+DATASET_LR = {"fundus": 2e-3, "prostate": 1e-3}
+DATASET_NUM_CLASSES = {"fundus": 2, "prostate": 2}
+
+# RAM low-frequency band fraction. Reference: code/dataset/fundus.py:214.
+RAM_L = 0.1
+# Loss weights. Reference: code/train.py:283 (consistency), :61 (lambda_rec).
+CONSISTENCY_WEIGHT = 0.5
+DEFAULT_LAMBDA_REC = 0.1
+# Poly LR decay power. Reference: code/train.py:289.
+POLY_POWER = 0.9
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Mirror of the reference train CLI (code/train.py:47-74)."""
+
+    data_root: str = "../dataset"
+    dataset: str = "fundus"  # {fundus, prostate}
+    batch_size: int = 8
+    test_batch_size: int = 8
+    lr: Optional[float] = None
+    epochs: Optional[int] = None
+    domain_idxs: Tuple[int, ...] = (0, 1, 2)
+    test_domain_idx: int = 3
+    in_channels: int = 3
+    num_classes: Optional[int] = None
+    seed: int = 1337
+    lambda_rec: float = DEFAULT_LAMBDA_REC
+    deterministic: bool = False
+    ram: bool = True
+    rec: bool = True
+    is_out_domain: bool = False
+    consistency: bool = True
+    consistency_type: str = "kd"  # {mse, kd}
+    save_path: str = "runs/default"
+    norm: str = "bn"
+    activation: str = "relu"
+    # --- TPU-native extensions (not in the reference) ---
+    image_size: int = 256  # fundus train/eval size; prostate slices are 384
+    compute_dtype: str = "float32"  # {float32, bfloat16} activation dtype
+    num_devices: Optional[int] = None  # data-parallel shard count (None=all)
+    ram_use_pallas: bool = False  # fuse the band-mix with a Pallas kernel
+    prefetch: int = 2  # host->device pipeline depth
+    log_interval: int = 1
+    checkpoint_resume: Optional[str] = None
+
+    def resolve(self) -> "TrainConfig":
+        cfg = dataclasses.replace(self)
+        if cfg.epochs is None:
+            cfg.epochs = DATASET_EPOCHS[cfg.dataset]
+        if cfg.lr is None:
+            cfg.lr = DATASET_LR[cfg.dataset]
+        if cfg.num_classes is None:
+            cfg.num_classes = DATASET_NUM_CLASSES[cfg.dataset]
+        return cfg
+
+    @property
+    def batch_size_list(self) -> List[int]:
+        if self.dataset == "fundus":
+            return FUNDUS_BATCH_LIST[self.test_domain_idx]
+        return PROSTATE_BATCH_LIST[self.test_domain_idx]
+
+    @property
+    def num_domains(self) -> int:
+        return len(self.domain_idxs)

@@ -1,0 +1,162 @@
+"""Normalization layers with torch-compatible semantics, NHWC layout.
+
+Covers the reference's `normalization(...)` factory
+(/root/reference/code/networks/unet.py:17-28) — 'bn', 'gn', 'in', 'dsbn' —
+and the per-domain BN bank (/root/reference/code/networks/dsbn.py:4-34).
+
+Torch-compatibility notes (deliberate, so checkpoints interchange):
+  * BatchNorm normalizes with *biased* batch variance but updates the running
+    variance with the *unbiased* estimate (factor n/(n-1)), momentum 0.1 in
+    torch convention: new = (1-m)*old + m*batch.
+  * On a sharded batch under `jax.jit`, the mean/var reductions below are
+    *global* over the logical batch — XLA inserts the cross-device psum.
+    This exactly matches the reference's effective single-GPU DataParallel
+    numerics (global-batch BN), i.e. we get sync-BN for free.
+  * Test-time "BN adaptation" (the reference eval scripts flip BatchNorm back
+    to train mode, test_fundus_slice.py:75-86) maps to calling with
+    use_running_average=False and discarding the mutated stats: predictions
+    only depend on batch stats in that mode.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over NHWC with torch nn.BatchNorm2d semantics."""
+
+    features: int
+    momentum: float = 0.1  # torch convention
+    eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, use_running_average: bool) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size / self.features
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class DomainSpecificBatchNorm(nn.Module):
+    """A bank of per-domain BatchNorms selected by a scalar domain index.
+
+    Mirrors DomainSpecificBatchNorm2d (dsbn.py:24-34): the whole (sub-)batch
+    must belong to one domain; affine params AND running stats are per-domain.
+    Parameters are stored stacked as (num_domains, features) so a traced
+    domain index works (gather + scatter on the bank).
+    """
+
+    features: int
+    num_domains: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, domain: jax.Array, *, use_running_average: bool
+    ) -> jax.Array:
+        d = jnp.asarray(domain, jnp.int32).reshape(())
+        shape = (self.num_domains, self.features)
+        scale = self.param("scale", nn.initializers.ones, shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, shape, jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(shape, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(shape, jnp.float32))
+
+        if use_running_average:
+            mean = jnp.take(ra_mean.value, d, axis=0)
+            var = jnp.take(ra_var.value, d, axis=0)
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size / self.features
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                new_mean = (1.0 - m) * jnp.take(ra_mean.value, d, axis=0) + m * mean
+                new_var = (1.0 - m) * jnp.take(ra_var.value, d, axis=0) + m * unbiased
+                ra_mean.value = ra_mean.value.at[d].set(new_mean)
+                ra_var.value = ra_var.value.at[d].set(new_var)
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * jnp.take(scale, d, axis=0) + jnp.take(bias, d, axis=0)
+        return y.astype(self.dtype or x.dtype)
+
+
+class InstanceNorm(nn.Module):
+    """torch nn.InstanceNorm2d defaults: no affine, no running stats."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return y.astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """Normalization switch mirroring unet.py:17-28.
+
+    'gn' is GroupNorm with a single group (layer-norm over C,H,W).
+    """
+
+    features: int
+    norm: str = "bn"
+    num_domains: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        train: bool,
+        domain: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if self.norm == "bn":
+            return BatchNorm(self.features)(x, use_running_average=not train)
+        if self.norm == "gn":
+            return nn.GroupNorm(num_groups=1, epsilon=1e-5)(x)
+        if self.norm == "in":
+            return InstanceNorm(self.features)(x)
+        if self.norm == "dsbn":
+            if domain is None:
+                raise ValueError("dsbn requires a domain index")
+            return DomainSpecificBatchNorm(self.features, self.num_domains)(
+                x, domain, use_running_average=not train
+            )
+        raise ValueError(f"Normalization type {self.norm} is not supported")

@@ -1,0 +1,369 @@
+"""U-Net model zoo in Flax (NHWC, TPU-native layouts).
+
+Topology-parity with the reference model zoo
+(/root/reference/code/networks/unet.py):
+  * ConvD   down-stage  (:32-72):  [maxpool if not first] -> conv3x3+norm ->
+            conv3x3+norm+act -> conv3x3+norm+act
+  * ConvU   up-stage    (:75-117): [conv3x3+norm+act if not first] ->
+            bilinear x2 -> conv1x1(planes//2)+norm+act -> concat(skip) ->
+            conv3x3+norm+act
+  * ConvURec up-stage   (:120-165): skip-free, optional DSBN domain routing
+  * Encoder (:248-271): 5 ConvD stages, c -> n..16n, returns all 5 maps
+  * Decoder (:273-296): 4 ConvU + conv3x3 head
+  * RecDecoder (:299-322): 4 ConvURec from bottleneck only + conv3x3 head
+  * Variants kept for API completeness: Unet2D (:168-203), Unet2DMT
+    (:206-245), Unet2DDS deep supervision (:325-378), Unet2DMS multi-scale
+    (:381-430), Discriminator PatchGAN (:433-461).
+
+Init parity: conv kernels Kaiming-normal fan_out (per activation), conv
+biases torch-default uniform(+-1/sqrt(fan_in)); norm scale=1, bias=0.
+
+Layout: NHWC everywhere (images are (B, H, W, C)); TPU convolutions tile the
+channel dim onto the MXU lanes.  Upsampling is `jax.image.resize` bilinear
+(half-pixel convention == torch align_corners=False).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ramdsir_tpu.models.norm import Norm
+
+
+def count_params(variables: Any) -> float:
+    """Parameter count in millions (reference unet.py:13-15)."""
+    params = variables.get("params", variables) if isinstance(variables, dict) else variables
+    return sum(x.size for x in jax.tree.leaves(params)) / 1e6
+
+
+def kaiming_normal_fanout(activation: str = "relu"):
+    """torch nn.init.kaiming_normal_(mode='fan_out', nonlinearity=...)."""
+    if activation == "relu":
+        gain = math.sqrt(2.0)
+    else:  # leaky_relu with torch's default a (sqrt(5) is for conv default, here a=0.01)
+        gain = math.sqrt(2.0 / (1.0 + 0.01 ** 2))
+
+    def init(key, shape, dtype=jnp.float32):
+        # flax conv kernel shape: (kh, kw, in_ch, out_ch); fan_out = kh*kw*out
+        fan_out = shape[0] * shape[1] * shape[3]
+        std = gain / math.sqrt(fan_out)
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def torch_conv_bias_init(fan_in: int):
+    """torch Conv2d default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Bilinear x2 upsample, align_corners=False (reference ConvU.pool)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+def _act(name: str):
+    if name == "relu":
+        return nn.relu
+    return lambda x: nn.leaky_relu(x, 0.01)
+
+
+class _Base(nn.Module):
+    """Shared conv helper so every layer gets torch-parity init."""
+
+    def conv(self, x, features: int, kernel: int, name: str, activation: str = "relu"):
+        fan_in = x.shape[-1] * kernel * kernel
+        return nn.Conv(
+            features,
+            (kernel, kernel),
+            padding="SAME" if kernel > 1 else "VALID",
+            use_bias=True,
+            kernel_init=kaiming_normal_fanout(activation),
+            bias_init=torch_conv_bias_init(fan_in),
+            name=name,
+        )(x)
+
+
+class ConvD(_Base):
+    planes: int
+    norm: str = "bn"
+    first: bool = False
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+        act = _act(self.activation)
+        if not self.first:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # layer 1: conv, norm (no activation — reference unet.py:58-60)
+        x = self.conv(x, self.planes, 3, "conv1", self.activation)
+        x = Norm(self.planes, self.norm, name="bn1")(x, train=train)
+        # layer 2: conv, norm, act
+        y = self.conv(x, self.planes, 3, "conv2", self.activation)
+        y = Norm(self.planes, self.norm, name="bn2")(y, train=train)
+        y = act(y)
+        # layer 3: conv, norm, act
+        z = self.conv(y, self.planes, 3, "conv3", self.activation)
+        z = Norm(self.planes, self.norm, name="bn3")(z, train=train)
+        z = act(z)
+        return z
+
+
+class ConvU(_Base):
+    planes: int
+    norm: str = "bn"
+    first: bool = False
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, prev: jax.Array, *, train: bool = True) -> jax.Array:
+        act = _act(self.activation)
+        if not self.first:
+            x = self.conv(x, self.planes, 3, "conv1", self.activation)
+            x = Norm(self.planes, self.norm, name="bn1")(x, train=train)
+            x = act(x)
+        y = upsample2x(x)
+        y = self.conv(y, self.planes // 2, 1, "conv2", self.activation)
+        y = Norm(self.planes // 2, self.norm, name="bn2")(y, train=train)
+        y = act(y)
+        # channel-concat: skip first (reference torch.cat([prev, y], 1))
+        y = jnp.concatenate([prev, y], axis=-1)
+        y = self.conv(y, self.planes, 3, "conv3", self.activation)
+        y = Norm(self.planes, self.norm, name="bn3")(y, train=train)
+        y = act(y)
+        return y
+
+
+class ConvURec(_Base):
+    """Skip-free up-stage with optional DSBN routing (unet.py:120-165)."""
+
+    planes: int
+    norm: str = "bn"
+    activation: str = "relu"
+    num_domains: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, domain: Optional[jax.Array] = None, train: bool = True
+    ) -> jax.Array:
+        act = _act(self.activation)
+        half = self.planes // 2
+        x = self.conv(x, half, 3, "conv1", self.activation)
+        x = Norm(half, self.norm, self.num_domains, name="bn1")(x, train=train, domain=domain)
+        x = act(x)
+        y = upsample2x(x)
+        y = self.conv(y, half, 1, "conv2", self.activation)
+        y = Norm(half, self.norm, self.num_domains, name="bn2")(y, train=train, domain=domain)
+        y = act(y)
+        y = self.conv(y, half, 3, "conv3", self.activation)
+        y = Norm(half, self.norm, self.num_domains, name="bn3")(y, train=train, domain=domain)
+        y = act(y)
+        return y
+
+
+class Encoder(_Base):
+    """5-stage encoder, channels c -> n,2n,4n,8n,16n (unet.py:248-271)."""
+
+    c: int = 3
+    n: int = 16
+    norm: str = "bn"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> List[jax.Array]:
+        n = self.n
+        x1 = ConvD(n, self.norm, first=True, activation=self.activation, name="convd1")(x, train=train)
+        x2 = ConvD(2 * n, self.norm, activation=self.activation, name="convd2")(x1, train=train)
+        x3 = ConvD(4 * n, self.norm, activation=self.activation, name="convd3")(x2, train=train)
+        x4 = ConvD(8 * n, self.norm, activation=self.activation, name="convd4")(x3, train=train)
+        x5 = ConvD(16 * n, self.norm, activation=self.activation, name="convd5")(x4, train=train)
+        return [x1, x2, x3, x4, x5]
+
+
+class Decoder(_Base):
+    """Segmentation decoder over all 5 encoder maps (unet.py:273-296)."""
+
+    n: int = 16
+    num_classes: int = 2
+    norm: str = "bn"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], *, train: bool = True) -> jax.Array:
+        n = self.n
+        y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation, name="convu4")(
+            feats[-1], feats[-2], train=train
+        )
+        y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], train=train)
+        y2 = ConvU(4 * n, self.norm, activation=self.activation, name="convu2")(y3, feats[-4], train=train)
+        y1 = ConvU(2 * n, self.norm, activation=self.activation, name="convu1")(y2, feats[-5], train=train)
+        return self.conv(y1, self.num_classes, 3, "out1", self.activation)
+
+
+class RecDecoder(_Base):
+    """Restoration decoder from the bottleneck only (unet.py:299-322)."""
+
+    n: int = 16
+    num_classes: int = 3  # reconstructs the input channels
+    norm: str = "dsbn"
+    activation: str = "relu"
+    num_domains: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, domain: Optional[jax.Array] = None, train: bool = True
+    ) -> jax.Array:
+        n = self.n
+        y4 = ConvURec(16 * n, self.norm, self.activation, self.num_domains, name="convu4")(
+            x, domain=domain, train=train
+        )
+        y3 = ConvURec(8 * n, self.norm, self.activation, self.num_domains, name="convu3")(
+            y4, domain=domain, train=train
+        )
+        y2 = ConvURec(4 * n, self.norm, self.activation, self.num_domains, name="convu2")(
+            y3, domain=domain, train=train
+        )
+        y1 = ConvURec(2 * n, self.norm, self.activation, self.num_domains, name="convu1")(
+            y2, domain=domain, train=train
+        )
+        return self.conv(y1, self.num_classes, 3, "out1", self.activation)
+
+
+class Unet2D(_Base):
+    """Single-net encoder+decoder variant (unet.py:168-203)."""
+
+    c: int = 3
+    n: int = 16
+    norm: str = "bn"
+    num_classes: int = 2
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+        feats = Encoder(self.c, self.n, self.norm, self.activation, name="encoder")(x, train=train)
+        return Decoder(self.n, self.num_classes, self.norm, self.activation, name="decoder")(
+            feats, train=train
+        )
+
+
+class Unet2DMT(_Base):
+    """Seg+rec single net with shared trunk (unet.py:206-245)."""
+
+    c: int = 3
+    n: int = 16
+    norm: str = "bn"
+    num_classes: int = 2
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, is_rec: bool = False, train: bool = True) -> jax.Array:
+        n = self.n
+        feats = Encoder(self.c, n, self.norm, self.activation, name="encoder")(x, train=train)
+        y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation, name="convu4")(
+            feats[-1], feats[-2], train=train
+        )
+        y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], train=train)
+        y2 = ConvU(4 * n, self.norm, activation=self.activation, name="convu2")(y3, feats[-4], train=train)
+        y1 = ConvU(2 * n, self.norm, activation=self.activation, name="convu1")(y2, feats[-5], train=train)
+        if is_rec:
+            return self.conv(y1, self.c, 3, "rec1", self.activation)
+        return self.conv(y1, self.num_classes, 3, "seg1", self.activation)
+
+
+class Unet2DDS(_Base):
+    """Deep-supervision variant (unet.py:325-378)."""
+
+    c: int = 3
+    n: int = 16
+    norm: str = "bn"
+    num_classes: int = 2
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deep_sup: bool = False, train: bool = True):
+        n = self.n
+        feats = Encoder(self.c, n, self.norm, self.activation, name="encoder")(x, train=train)
+        x5 = feats[-1]
+        y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation, name="convu4")(
+            x5, feats[-2], train=train
+        )
+        y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], train=train)
+        y2 = ConvU(4 * n, self.norm, activation=self.activation, name="convu2")(y3, feats[-4], train=train)
+        y1 = ConvU(2 * n, self.norm, activation=self.activation, name="convu1")(y2, feats[-5], train=train)
+        y1_pred = self.conv(y1, self.num_classes, 3, "seg1", self.activation)
+        if not deep_sup:
+            return y1_pred
+
+        def up(z, s):
+            b, h, w, c = z.shape
+            return jax.image.resize(z, (b, h * s, w * s, c), method="bilinear")
+
+        y5_pred = up(self.conv(x5, self.num_classes, 3, "seg5", self.activation), 16)
+        y4_pred = up(self.conv(y4, self.num_classes, 3, "seg4", self.activation), 8)
+        y3_pred = up(self.conv(y3, self.num_classes, 3, "seg3", self.activation), 4)
+        y2_pred = up(self.conv(y2, self.num_classes, 3, "seg2", self.activation), 2)
+        return y1_pred, y2_pred, y3_pred, y4_pred, y5_pred
+
+
+class Unet2DMS(_Base):
+    """Multi-scale-output variant (unet.py:381-430)."""
+
+    c: int = 3
+    n: int = 16
+    norm: str = "bn"
+    num_classes: int = 2
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, multi_scale_output: bool = False, train: bool = True):
+        n = self.n
+        feats = Encoder(self.c, n, self.norm, self.activation, name="encoder")(x, train=train)
+        x5 = feats[-1]
+        y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation, name="convu4")(
+            x5, feats[-2], train=train
+        )
+        y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], train=train)
+        y2 = ConvU(4 * n, self.norm, activation=self.activation, name="convu2")(y3, feats[-4], train=train)
+        y1 = ConvU(2 * n, self.norm, activation=self.activation, name="convu1")(y2, feats[-5], train=train)
+        y1_pred = self.conv(y1, self.num_classes, 3, "seg1", self.activation)
+        if not multi_scale_output:
+            return y1_pred
+        return (
+            y1_pred,
+            self.conv(y2, self.num_classes, 3, "seg2", self.activation),
+            self.conv(y3, self.num_classes, 3, "seg3", self.activation),
+            self.conv(y4, self.num_classes, 3, "seg4", self.activation),
+            self.conv(x5, self.num_classes, 3, "seg5", self.activation),
+        )
+
+
+class Discriminator(nn.Module):
+    """PatchGAN discriminator (unet.py:433-461)."""
+
+    input_nc: int = 3
+    n: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ramdsir_tpu.models.norm import InstanceNorm
+
+        def conv(z, feats, stride, name):
+            return nn.Conv(feats, (4, 4), strides=(stride, stride), padding=((1, 1), (1, 1)), name=name)(z)
+
+        n = self.n
+        x = nn.leaky_relu(conv(x, n, 2, "conv1"), 0.2)
+        x = nn.leaky_relu(InstanceNorm(2 * n)(conv(x, 2 * n, 2, "conv2")), 0.2)
+        x = nn.leaky_relu(InstanceNorm(4 * n)(conv(x, 4 * n, 2, "conv3")), 0.2)
+        x = nn.leaky_relu(InstanceNorm(8 * n)(conv(x, 8 * n, 1, "conv4")), 0.2)
+        x = conv(x, 1, 1, "conv5")
+        return jnp.mean(x, axis=(1, 2))

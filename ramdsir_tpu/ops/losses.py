@@ -1,0 +1,99 @@
+"""Loss library (jnp), numerically matching the reference's used losses.
+
+Reference: /root/reference/code/utils/losses.py and the torch builtins used
+by code/train.py (BCELoss, CrossEntropyLoss, KLDivLoss, MSELoss).
+
+All losses reduce over the *whole* batch exactly like the reference (global
+sums, not per-sample means), so values are comparable step-for-step. Inputs
+are NHWC; the channel axis is last (the reference is NCHW — only the axis
+differs, reductions are global so values match).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import xlogy
+
+
+def bce_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """torch nn.BCELoss on probabilities: mean over all elements.
+
+    torch clamps each log term at -100 for stability; replicated here.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    log_p = jnp.maximum(jnp.log(pred), -100.0)
+    log_1p = jnp.maximum(jnp.log1p(-pred), -100.0)
+    return -jnp.mean(target * log_p + (1.0 - target) * log_1p)
+
+
+def dice_loss(score: jax.Array, target: jax.Array) -> jax.Array:
+    """Soft dice with squared-sum denominator, smooth 1e-5 (losses.py:8-16)."""
+    score = score.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    smooth = 1e-5
+    intersect = jnp.sum(score * target)
+    y_sum = jnp.sum(target * target)
+    z_sum = jnp.sum(score * score)
+    return 1.0 - (2.0 * intersect + smooth) / (z_sum + y_sum + smooth)
+
+
+def dice_loss_multi(
+    score: jax.Array, target: jax.Array, num_classes: int, ignore_index: int = 255
+) -> jax.Array:
+    """Per-class soft dice vs an integer mask (losses.py:18-33).
+
+    `score` is (B, H, W, C) softmax probabilities; `target` is (B, H, W) int.
+    Classes equal to `ignore_index` are skipped (background for prostate).
+    """
+    score = score.astype(jnp.float32)
+    smooth = 1e-5
+    loss = 0.0
+    count = 0
+    for i in range(num_classes):
+        if i == ignore_index:
+            continue
+        count += 1
+        t = (target == i).astype(jnp.float32)
+        s = score[..., i]
+        intersect = jnp.sum(s * t)
+        y_sum = jnp.sum(t)  # t is 0/1 so t*t == t
+        z_sum = jnp.sum(s * s)
+        loss = loss + 1.0 - (2.0 * intersect + smooth) / (z_sum + y_sum + smooth)
+    return loss / count
+
+
+def cross_entropy_loss(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """torch nn.CrossEntropyLoss (mean) on NHWC logits and int targets."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(picked)
+
+
+def _kl_div_mean(log_input: jax.Array, target: jax.Array) -> jax.Array:
+    """torch nn.KLDivLoss(reduction='mean'): mean over ALL elements of
+    target * (log(target) - log_input), with 0*log(0) := 0."""
+    pointwise = xlogy(target, target) - target * log_input
+    return jnp.mean(pointwise)
+
+
+def kd_loss(p: jax.Array, q: jax.Array, eps: float = 0.0) -> jax.Array:
+    """Symmetric KL consistency (reference train.py:85-88).
+
+    KD(input, target) = KLDiv(input.log(), target) + KLDiv(target.log(), input)
+    on probabilities.  `eps` > 0 optionally clips probabilities away from 0
+    (the reference does not; keep 0 for parity).
+    """
+    p = p.astype(jnp.float32)
+    q = q.astype(jnp.float32)
+    if eps:
+        p = jnp.clip(p, eps, 1.0)
+        q = jnp.clip(q, eps, 1.0)
+    return _kl_div_mean(jnp.log(p), q) + _kl_div_mean(jnp.log(q), p)
+
+
+def mse_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    """torch nn.MSELoss (mean)."""
+    diff = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return jnp.mean(jnp.square(diff))

@@ -1,0 +1,91 @@
+"""Host-side prediction post-processing (no skimage/medpy dependency).
+
+Behavior-parity with /root/reference/code/utils/utils.py:
+  * get_largest_fillhole (:19-28): keep the largest 8-connected component
+    (skimage.measure.label default connectivity = ndim -> 8-connected in
+    2-D), then binary_fill_holes.
+  * _connectivity_region_analysis (:30-42): 3-D volume cleanup with
+    scipy.ndimage.label's default (connectivity-1) structure; sizes via
+    ndimage.sum over labels incl. background; argmax kept (background wins
+    for an empty mask, exactly like the reference).
+  * postprocessing (:45-96): the three dataset branches.
+
+A C++ fast path (ramdsir_tpu.native) replaces the scipy pipeline when the
+extension is built.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+
+def _largest_cc(binary: np.ndarray, connectivity: int) -> np.ndarray:
+    structure = ndimage.generate_binary_structure(binary.ndim, connectivity)
+    labels, n = ndimage.label(binary, structure=structure)
+    if n == 0:
+        return np.zeros_like(binary)
+    sizes = ndimage.sum(binary, labels, range(1, n + 1))
+    keep = int(np.argmax(sizes)) + 1
+    return labels == keep
+
+
+def get_largest_fillhole(binary: np.ndarray) -> np.ndarray:
+    """Largest 8-connected component, holes filled (utils.py:19-28)."""
+    binary = np.asarray(binary).astype(bool)
+    try:
+        from ramdsir_tpu.native import largest_cc_fillhole_native
+
+        out = largest_cc_fillhole_native(binary)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    if not binary.any():
+        return binary.astype(int)
+    kept = _largest_cc(binary, connectivity=binary.ndim)  # 8-connected in 2D
+    return ndimage.binary_fill_holes(kept.astype(int))
+
+
+def connectivity_region_analysis(mask: np.ndarray) -> np.ndarray:
+    """Largest-component volume cleanup (utils.py:30-42).
+
+    Uses scipy.ndimage.label defaults (connectivity-1) and includes the
+    background bucket in the size argmax — for an all-zero mask the result
+    stays all-zero, matching the reference.
+    """
+    mask = np.asarray(mask)
+    labels, n = ndimage.label(mask)
+    sizes = ndimage.sum(mask, labels, range(n + 1))
+    winner = int(np.argmax(sizes))
+    out = np.zeros_like(labels)
+    out[labels == winner] = 1
+    if winner == 0:  # empty mask: argmax hits background; keep zeros
+        out[:] = 0
+    return out
+
+
+# Backwards-compatible alias mirroring the reference symbol name.
+_connectivity_region_analysis = connectivity_region_analysis
+
+
+def postprocessing(prediction: np.ndarray, threshold: float = 0.5, dataset: str = "G") -> np.ndarray:
+    """Dataset-dependent cleanup (utils.py:45-96).
+
+    prediction: (2, H, W) soft cup/disc probabilities for fundus branches,
+    or an integer mask for 'prostate'.
+    """
+    prediction = np.asarray(prediction)
+    if dataset == "prostate":
+        mask = np.copy(prediction).astype(np.uint8)
+        return get_largest_fillhole(mask).astype(np.uint8)
+    if dataset and dataset[0] == "D":
+        out = np.copy(prediction)
+        disc = (prediction[1] > 0.5).astype(np.uint8)
+        cup = (prediction[0] > 0.1).astype(np.uint8)
+        out[0] = get_largest_fillhole(cup).astype(np.uint8)
+        out[1] = get_largest_fillhole(disc).astype(np.uint8)
+        return out
+    out = (np.copy(prediction) > threshold).astype(np.uint8)
+    out[0] = get_largest_fillhole(out[0]).astype(np.uint8)
+    out[1] = get_largest_fillhole(out[1]).astype(np.uint8)
+    return out

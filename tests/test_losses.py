@@ -1,0 +1,79 @@
+"""Loss parity vs torch builtins / reference formulas (torch CPU golden)."""
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from ramdsir_tpu.ops.losses import (
+    bce_loss,
+    cross_entropy_loss,
+    dice_loss,
+    dice_loss_multi,
+    kd_loss,
+    mse_loss,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _rand_probs(shape):
+    return RNG.uniform(0.01, 0.99, shape).astype(np.float32)
+
+
+def test_bce_matches_torch():
+    p = _rand_probs((4, 8, 8, 2))
+    t = (RNG.uniform(size=(4, 8, 8, 2)) > 0.5).astype(np.float32)
+    want = torch.nn.BCELoss()(torch.from_numpy(p), torch.from_numpy(t)).item()
+    got = float(bce_loss(jnp.asarray(p), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_dice_loss_reference_formula():
+    p = _rand_probs((4, 8, 8, 2))
+    t = (RNG.uniform(size=(4, 8, 8, 2)) > 0.5).astype(np.float32)
+    smooth = 1e-5
+    inter, ys, zs = (p * t).sum(), (t * t).sum(), (p * p).sum()
+    want = 1 - (2 * inter + smooth) / (zs + ys + smooth)
+    got = float(dice_loss(jnp.asarray(p), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_dice_loss_multi_ignores_background():
+    logits = RNG.normal(size=(4, 8, 8, 2)).astype(np.float32)
+    p = np.asarray(jnp.asarray(logits))
+    p = np.exp(p) / np.exp(p).sum(-1, keepdims=True)
+    t = RNG.integers(0, 2, (4, 8, 8))
+    smooth = 1e-5
+    ti = (t == 1).astype(np.float32)
+    s = p[..., 1]
+    want = 1 - (2 * (s * ti).sum() + smooth) / ((s * s).sum() + ti.sum() + smooth)
+    got = float(dice_loss_multi(jnp.asarray(p), jnp.asarray(t), num_classes=2, ignore_index=0))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cross_entropy_matches_torch():
+    logits = RNG.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    t = RNG.integers(0, 3, (4, 8, 8))
+    want = torch.nn.CrossEntropyLoss()(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)), torch.from_numpy(t)
+    ).item()
+    got = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_kd_matches_torch_kldivloss():
+    p = _rand_probs((4, 8, 8, 2))
+    q = _rand_probs((4, 8, 8, 2))
+    tp, tq = torch.from_numpy(p), torch.from_numpy(q)
+    crit = torch.nn.KLDivLoss()
+    want = (crit(tp.log(), tq) + crit(tq.log(), tp)).item()
+    got = float(kd_loss(jnp.asarray(p), jnp.asarray(q)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_mse_matches_torch():
+    a = RNG.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    b = RNG.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    want = F.mse_loss(torch.from_numpy(a), torch.from_numpy(b)).item()
+    got = float(mse_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
