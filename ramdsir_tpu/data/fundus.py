@@ -1,0 +1,160 @@
+"""Fundus datasets (OD/OC segmentation, 4 domains).
+
+Layout-parity with the reference loaders (/root/reference/code/dataset/
+fundus.py:64-242):
+  * FundusDataset reads `base_dir/DomainX/{train,test}.list` with lines
+    "rel_img_path rel_mask_path" (relative to base_dir/DomainX).
+  * FundusMultiDataset reads `base_dir/DomainX_train.list` manifests with
+    paths relative to base_dir (the lists shipped in the reference's
+    dataset/fundus/).
+
+TPU-native divergence: the RAM FFT runs on device, so train samples carry
+the post-geometric-transform image in [0,255] plus a *donor* image (random
+other-source-domain image resized to the train size) instead of a
+CPU-precomputed `img_freq`.  Mask decoding matches fundus.py:99-110.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ramdsir_tpu.config import FUNDUS_DOMAINS
+from ramdsir_tpu.data.transforms import fundus_multilabel
+
+
+def _read_list(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+class FundusDataset:
+    """Single-domain dataset; test mode also returns the original-size mask
+    (fundus.py:96-116) for resize-back evaluation."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        domain_idx: int,
+        split: str = "train",
+        num: Optional[int] = None,
+        transform=None,
+    ):
+        self.base_dir = base_dir
+        self.domain = FUNDUS_DOMAINS[domain_idx]
+        self.split = split
+        self.transform = transform
+        self.id_path = _read_list(os.path.join(base_dir, self.domain, f"{split}.list"))
+        if num is not None:
+            self.id_path = self.id_path[:num]
+
+    def __len__(self) -> int:
+        return len(self.id_path)
+
+    def __getitem__(self, index: int):
+        entry = self.id_path[index].split(" ")
+        img = Image.open(os.path.join(self.base_dir, self.domain, entry[0])).convert("RGB")
+        mask = Image.open(os.path.join(self.base_dir, self.domain, entry[1])).convert("L")
+        sample = {"img": img, "mask": mask}
+        if self.split == "test":
+            orig_mask = fundus_multilabel(np.array(mask))  # (H, W, 2) original size
+            if self.transform:
+                sample = self.transform(sample)
+            return {
+                "img": np.asarray(sample["img"], np.float32),
+                "mask": np.asarray(sample["mask"], np.float32),
+                "mask_orig": orig_mask,
+                "id": self.id_path[index],
+            }
+        if self.transform:
+            sample = self.transform(sample)
+        return {
+            "img": np.asarray(sample["img"], np.float32),
+            "mask": np.asarray(sample["mask"], np.float32),
+        }
+
+
+class FundusMultiDataset:
+    """Multi-domain train dataset with cross-domain donor sampling.
+
+    Each item: img (H, W, 3) float32 [0,255] after geometric transforms,
+    donor (S, S, 3) float32 [0,255] from a random other source domain
+    (out-of-current-domain when is_out_domain, fundus.py:201-208),
+    mask (H, W, 2) float32 multilabel, domain (int).
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        domain_idx_list: Sequence[int],
+        split: str = "train",
+        num: Optional[int] = None,
+        transform=None,
+        is_freq: bool = True,
+        is_out_domain: bool = False,
+        test_domain_idx: Optional[int] = None,
+        donor_size: int = 256,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.base_dir = base_dir
+        self.domain_idx_list = list(domain_idx_list)
+        self.transform = transform
+        self.is_freq = is_freq
+        self.is_out_domain = is_out_domain
+        self.test_domain_idx = test_domain_idx
+        self.donor_size = donor_size
+        self.rng = rng or np.random.default_rng()
+
+        self.id_path: List[str] = []
+        self.item_domain: List[str] = []
+        for d in self.domain_idx_list:
+            ids = _read_list(os.path.join(base_dir, f"{FUNDUS_DOMAINS[d]}_{split}.list"))
+            self.id_path += ids
+            self.item_domain += [FUNDUS_DOMAINS[d]] * len(ids)
+        if num is not None:
+            self.id_path = self.id_path[:num]
+            self.item_domain = self.item_domain[:num]
+
+        # donor pool: per-source-domain train lists (fundus.py:206-208)
+        self.train_domains = [d for d in FUNDUS_DOMAINS if test_domain_idx is None or d != FUNDUS_DOMAINS[test_domain_idx]]
+        self._donor_lists = {}
+
+    def __len__(self) -> int:
+        return len(self.id_path)
+
+    def _donor_ids(self, domain_name: str) -> List[str]:
+        if domain_name not in self._donor_lists:
+            self._donor_lists[domain_name] = _read_list(
+                os.path.join(self.base_dir, domain_name, "train.list")
+            )
+        return self._donor_lists[domain_name]
+
+    def _sample_donor(self, cur_domain: str) -> np.ndarray:
+        pool = [d for d in self.train_domains if not (self.is_out_domain and d == cur_domain)]
+        donor_domain = pool[int(self.rng.integers(0, len(pool)))]
+        ids = self._donor_ids(donor_domain)
+        donor_id = ids[int(self.rng.integers(0, len(ids)))].split(" ")[0]
+        donor = Image.open(os.path.join(self.base_dir, donor_domain, donor_id)).convert("RGB")
+        donor = donor.resize((self.donor_size, self.donor_size), Image.BILINEAR)
+        return np.asarray(donor, np.float32)
+
+    def __getitem__(self, index: int):
+        entry = self.id_path[index].split(" ")
+        img = Image.open(os.path.join(self.base_dir, entry[0])).convert("RGB")
+        mask = Image.open(os.path.join(self.base_dir, entry[1])).convert("L")
+        cur_domain = entry[0].split("/")[0]
+
+        sample = {"img": img, "mask": mask}
+        if self.transform:
+            sample = self.transform(sample)
+
+        out = {
+            "img": np.asarray(sample["img"], np.float32),
+            "mask": fundus_multilabel(np.array(sample["mask"])),
+            "domain": np.int32(self.domain_idx_list[0] if len(self.domain_idx_list) == 1 else FUNDUS_DOMAINS.index(cur_domain)),
+        }
+        if self.is_freq:
+            out["donor"] = self._sample_donor(cur_domain)
+        return out

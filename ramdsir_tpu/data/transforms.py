@@ -1,0 +1,358 @@
+"""Host-side sample transforms (PIL + numpy), NHWC outputs.
+
+Functional parity with the reference transform library
+(/root/reference/code/dataset/transform.py, np_transform.py) over dict
+samples {'img', 'mask', optional 'img_freq'}. Differences by design:
+  * Outputs are channel-LAST float32 numpy (TPU-native NHWC); normalization
+    to [-1,1] and the RAM mixup happen ON DEVICE, so `Normalize` here only
+    decodes the fundus mask and keeps images in [0,255].
+  * Randomness flows through an explicit numpy Generator instead of the
+    global `random` module (distribution-equivalent, not stream-equivalent).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageFilter, ImageOps
+from scipy import ndimage
+
+Sample = Dict[str, object]
+
+
+def to_multilabel(class_mask: np.ndarray, classes: int = 2) -> np.ndarray:
+    """class map {0:bg, 1:disc, 2:cup} -> (H, W, 2) [cup, disc] channels
+    (transform.py:10-14): disc=[0,1], cup=[1,1]."""
+    mask = np.zeros((class_mask.shape[0], class_mask.shape[1], classes), np.float32)
+    mask[class_mask == 1] = [0, 1]
+    mask[class_mask == 2] = [1, 1]
+    return mask
+
+
+def decode_fundus_mask(gray: np.ndarray) -> np.ndarray:
+    """Gray-value mask -> class map (fundus.py:99-107): >200 -> bg(0),
+    51..200 -> disc(1), <=50 -> cup(2)."""
+    gray = np.asarray(gray).astype(np.uint8)
+    out = np.full(gray.shape, 2, np.uint8)
+    out[gray > 200] = 0
+    out[(gray > 50) & (gray < 201)] = 1
+    return out
+
+
+def fundus_multilabel(gray: np.ndarray) -> np.ndarray:
+    """(H, W) gray mask -> (H, W, 2) float [cup, disc] (Normalize tail)."""
+    return to_multilabel(decode_fundus_mask(gray))
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: Sample) -> Sample:
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+def _apply_imgs(sample: Sample, fn) -> Sample:
+    out = dict(sample)
+    out["img"] = fn(sample["img"])
+    if "img_freq" in sample:
+        out["img_freq"] = fn(sample["img_freq"])
+    return out
+
+
+class Resize:
+    """Bilinear image / nearest mask resize (transform.py:163-177)."""
+
+    def __init__(self, target_size: Tuple[int, int]):
+        self.target_size = target_size
+
+    def __call__(self, sample: Sample) -> Sample:
+        tw, th = self.target_size[0], self.target_size[1]
+        out = _apply_imgs(sample, lambda im: im.resize((tw, th), Image.BILINEAR))
+        out["mask"] = sample["mask"].resize((tw, th), Image.NEAREST)
+        return out
+
+
+class RandomCrop:
+    """Pad-to-size then random crop; mask padded with 255 (transform.py:16-44)."""
+
+    def __init__(self, output_size: Tuple[int, int], rng: Optional[np.random.Generator] = None):
+        self.output_size = output_size
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        img, mask = sample["img"], sample["mask"]
+        w, h = img.size
+        padw = max(self.output_size[0] - w, 0)
+        padh = max(self.output_size[1] - h, 0)
+        if padw or padh:
+            img = ImageOps.expand(img, border=(0, 0, padw, padh), fill=0)
+            mask = ImageOps.expand(mask, border=(0, 0, padw, padh), fill=255)
+        w, h = img.size
+        x = int(self.rng.integers(0, w - self.output_size[0] + 1))
+        y = int(self.rng.integers(0, h - self.output_size[1] + 1))
+        box = (x, y, x + self.output_size[0], y + self.output_size[1])
+        out = {"img": img.crop(box), "mask": mask.crop(box)}
+        if "img_freq" in sample:
+            f = sample["img_freq"]
+            if padw or padh:
+                f = ImageOps.expand(f, border=(0, 0, padw, padh), fill=0)
+            out["img_freq"] = f.crop(box)
+        return out
+
+
+class CenterCrop:
+    """Pad-to-size then center crop (transform.py:47-75)."""
+
+    def __init__(self, output_size: Tuple[int, int]):
+        self.output_size = output_size
+
+    def __call__(self, sample: Sample) -> Sample:
+        img, mask = sample["img"], sample["mask"]
+        w, h = img.size
+        padw = max(self.output_size[0] - w, 0)
+        padh = max(self.output_size[1] - h, 0)
+        if padw or padh:
+            img = ImageOps.expand(img, border=(0, 0, padw, padh), fill=0)
+            mask = ImageOps.expand(mask, border=(0, 0, padw, padh), fill=255)
+        w, h = img.size
+        x = (w - self.output_size[0]) // 2
+        y = (h - self.output_size[1]) // 2
+        box = (x, y, x + self.output_size[0], y + self.output_size[1])
+        return {"img": img.crop(box), "mask": mask.crop(box)}
+
+
+class RandomScaleCrop:
+    """p=0.5 upscale by U(1,1.5) then RandomCrop (transform.py:180-204)."""
+
+    def __init__(self, size: Tuple[int, int], rng: Optional[np.random.Generator] = None):
+        self.size = size
+        self.rng = rng or np.random.default_rng()
+        self.crop = RandomCrop(size, self.rng)
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.rng.random() > 0.5:
+            img = sample["img"]
+            w = int(self.rng.uniform(1.0, 1.5) * img.size[0])
+            h = int(self.rng.uniform(1.0, 1.5) * img.size[1])
+            sample = _apply_imgs(sample, lambda im: im.resize((w, h), Image.BILINEAR))
+            sample["mask"] = sample["mask"].resize((w, h), Image.NEAREST)
+        return self.crop(sample)
+
+
+class Hflip:
+    """p=0.5 horizontal flip (transform.py:78-99)."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.rng.random() < 0.5:
+            out = _apply_imgs(sample, lambda im: im.transpose(Image.FLIP_LEFT_RIGHT))
+            out["mask"] = sample["mask"].transpose(Image.FLIP_LEFT_RIGHT)
+            return out
+        return sample
+
+
+class RandomResize:
+    """Scale by U(0.5, 2.0) (transform.py:102-132 semantics)."""
+
+    def __init__(self, scale_range=(0.5, 2.0), rng: Optional[np.random.Generator] = None):
+        self.scale_range = scale_range
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        s = self.rng.uniform(*self.scale_range)
+        img = sample["img"]
+        w, h = int(img.size[0] * s), int(img.size[1] * s)
+        out = _apply_imgs(sample, lambda im: im.resize((w, h), Image.BILINEAR))
+        out["mask"] = sample["mask"].resize((w, h), Image.NEAREST)
+        return out
+
+
+class ResizeRatio:
+    """Resize the short side to `size`, keep aspect (transform.py:135-160)."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, sample: Sample) -> Sample:
+        img = sample["img"]
+        w, h = img.size
+        if w < h:
+            nw, nh = self.size, int(h * self.size / w)
+        else:
+            nw, nh = int(w * self.size / h), self.size
+        out = _apply_imgs(sample, lambda im: im.resize((nw, nh), Image.BILINEAR))
+        out["mask"] = sample["mask"].resize((nw, nh), Image.NEAREST)
+        return out
+
+
+class Rotate:
+    """Rotate by U(-20, 20) degrees (transform.py:207-220)."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        angle = float(self.rng.uniform(-20, 20))
+        out = _apply_imgs(sample, lambda im: im.rotate(angle, Image.BILINEAR))
+        out["mask"] = sample["mask"].rotate(angle, Image.NEAREST)
+        return out
+
+
+class Blur:
+    """p=0.5 Gaussian blur radius U(0.1, 2.0) (transform.py:223-232)."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.rng.random() < 0.5:
+            radius = float(self.rng.uniform(0.1, 2.0))
+            return _apply_imgs(sample, lambda im: im.filter(ImageFilter.GaussianBlur(radius)))
+        return sample
+
+
+class Sharpness:
+    """p=0.5 sharpness enhance U(0, 2) (transform.py:280-289)."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.rng.random() < 0.5:
+            v = float(self.rng.uniform(0.0, 2.0))
+            return _apply_imgs(sample, lambda im: ImageEnhance.Sharpness(im).enhance(v))
+        return sample
+
+
+class Solarize:
+    """p=0.5 solarize with threshold U(0, 256) (transform.py:292-301)."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.rng.random() < 0.5:
+            t = int(self.rng.uniform(0, 256))
+            return _apply_imgs(sample, lambda im: ImageOps.solarize(im, t))
+        return sample
+
+
+class CutOut:
+    """p=0.5 random rectangular erase on image; mask set to 255 (ignored)
+    inside the hole (transform.py:235-277 semantics)."""
+
+    def __init__(self, size_range=(0.02, 0.4), rng: Optional[np.random.Generator] = None):
+        self.size_range = size_range
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.rng.random() >= 0.5:
+            return sample
+        img = np.array(sample["img"])
+        mask = np.array(sample["mask"])
+        h, w = img.shape[:2]
+        area = h * w * self.rng.uniform(*self.size_range)
+        ratio = self.rng.uniform(0.3, 1 / 0.3)
+        ch = int(round(np.sqrt(area * ratio)))
+        cw = int(round(np.sqrt(area / ratio)))
+        ch, cw = min(ch, h - 1), min(cw, w - 1)
+        y = int(self.rng.integers(0, h - ch))
+        x = int(self.rng.integers(0, w - cw))
+        img[y : y + ch, x : x + cw] = 0
+        mask[y : y + ch, x : x + cw] = 255
+        out = dict(sample)
+        out["img"] = Image.fromarray(img)
+        out["mask"] = Image.fromarray(mask)
+        return out
+
+
+class GetPair:
+    """In/out-painting pretext pair (transform.py:303-317 semantics):
+    returns the sample with 'img_in' (inpaint-corrupted) and 'img_out'
+    (outpaint-corrupted) numpy copies added."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Sample) -> Sample:
+        img = np.array(sample["img"]).astype(np.float32)
+        out = dict(sample)
+        out["img_in"] = inpaint_corrupt(img.copy(), self.rng)
+        out["img_out"] = outpaint_corrupt(img.copy(), self.rng)
+        return out
+
+
+def inpaint_corrupt(img: np.ndarray, rng: np.random.Generator, n_holes: int = 5) -> np.ndarray:
+    """Zero random interior rectangles (transform.py:439-470 semantics)."""
+    h, w = img.shape[:2]
+    for _ in range(int(rng.integers(1, n_holes + 1))):
+        ch = int(rng.integers(h // 8, h // 4 + 1))
+        cw = int(rng.integers(w // 8, w // 4 + 1))
+        y = int(rng.integers(0, h - ch))
+        x = int(rng.integers(0, w - cw))
+        img[y : y + ch, x : x + cw] = 0.0
+    return img
+
+
+def outpaint_corrupt(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Keep a random central rectangle, zero the rest (transform.py:473-510)."""
+    h, w = img.shape[:2]
+    ch = int(rng.integers(2 * h // 4, 3 * h // 4 + 1))
+    cw = int(rng.integers(2 * w // 4, 3 * w // 4 + 1))
+    y = int(rng.integers(0, h - ch))
+    x = int(rng.integers(0, w - cw))
+    out = np.zeros_like(img)
+    out[y : y + ch, x : x + cw] = img[y : y + ch, x : x + cw]
+    return out
+
+
+def get_boundary(mask: np.ndarray, width: int = 2) -> np.ndarray:
+    """Binary boundary band via erosion/dilation (transform.py:377-400)."""
+    mask = np.asarray(mask).astype(bool)
+    dil = ndimage.binary_dilation(mask, iterations=width)
+    ero = ndimage.binary_erosion(mask, iterations=width, border_value=0)
+    return (dil & ~ero).astype(np.float32)
+
+
+def get_contour_bg(mask: np.ndarray, width: int = 2) -> np.ndarray:
+    """(contour, background) channels (transform.py:403-436 semantics)."""
+    contour = get_boundary(mask, width)
+    bg = (~np.asarray(mask).astype(bool)).astype(np.float32)
+    return np.stack([contour, bg], axis=-1)
+
+
+class Normalize:
+    """Finalize a fundus sample into numpy NHWC arrays (transform.py:319-375).
+
+    Unlike the reference (which maps to [-1,1] on CPU), images stay [0,255]
+    float32 here — the [-1,1] normalization is fused into the device-side
+    train/eval step.  The mask is decoded to the (H, W, 2) [cup, disc]
+    multilabel.
+    """
+
+    def __call__(self, sample: Sample) -> Sample:
+        out: Sample = {"img": np.array(sample["img"]).astype(np.float32)}
+        if "img_freq" in sample:
+            out["img_freq"] = np.array(sample["img_freq"]).astype(np.float32)
+        if sample.get("mask") is not None:
+            out["mask"] = fundus_multilabel(np.array(sample["mask"]))
+        return out
+
+
+class CreateOnehotLabel:
+    """Integer mask -> one-hot channels (np_transform.py:142-158)."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+
+    def __call__(self, sample: Sample) -> Sample:
+        mask = np.asarray(sample["mask"]).astype(np.int64)
+        onehot = np.stack([(mask == i) for i in range(self.num_classes)], -1).astype(np.float32)
+        out = dict(sample)
+        out["onehot_label"] = onehot
+        return out

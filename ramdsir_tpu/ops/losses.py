@@ -22,9 +22,27 @@ def bce_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
-    log_p = jnp.maximum(jnp.log(pred), -100.0)
-    log_1p = jnp.maximum(jnp.log1p(-pred), -100.0)
+    # Gradient-safe floor: smallest NORMAL fp32 (subnormals are flushed to
+    # zero on some backends, which would reintroduce log(0)).  torch clamps
+    # the log at -100; this floors it at ~-87.3, which only differs inside
+    # the fully-saturated regime where both are sentinel values.
+    floor = 1.18e-38
+    log_p = jnp.log(jnp.maximum(pred, floor))
+    log_1p = jnp.log(jnp.maximum(1.0 - pred, floor))
     return -jnp.mean(target * log_p + (1.0 - target) * log_1p)
+
+
+def bce_with_logits_loss(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """BCE on logits via softplus — numerically exact where torch's
+    BCELoss(sigmoid(x)) is, and finite/stable where fp32 sigmoid saturates
+    (|x| > ~17) instead of hitting the -100 clamp.  This is what the train
+    step uses (the reference applies BCELoss to sigmoid outputs,
+    train.py:202,248)."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    # log sigmoid(x) = -softplus(-x);  log(1 - sigmoid(x)) = -softplus(x)
+    loss = target * jax.nn.softplus(-logits) + (1.0 - target) * jax.nn.softplus(logits)
+    return jnp.mean(loss)
 
 
 def dice_loss(score: jax.Array, target: jax.Array) -> jax.Array:

@@ -1,0 +1,84 @@
+"""Checkpointing: keep-best + final artifacts, full resume.
+
+Contract-parity with the reference (code/train.py:337-361): a rolling best
+checkpoint named `model_<dice>.ckpt` (previous best deleted) plus
+`final_model.ckpt`.  Improvement over the reference: optimizer state and
+the step counter are saved too, so training RESUMES exactly (the reference
+can only restart from scratch — SURVEY.md §5).
+
+Format: flax msgpack of the whole TrainState pytree + a small JSON header.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from ramdsir_tpu.train.state import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState, meta: Optional[Dict[str, Any]] = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "state": serialization.to_state_dict(jax.device_get(state)),
+        "meta": meta or {},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: str, template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(template, payload["state"])
+    # msgpack may round-trip the step as numpy; keep it a jnp scalar
+    state = state.replace(step=jnp.asarray(state.step, jnp.int32))
+    return state, payload.get("meta", {})
+
+
+class BestKeeper:
+    """Keep-best-delete-previous + final (train.py:337-361)."""
+
+    def __init__(self, save_dir: str):
+        self.save_dir = save_dir
+        self.best: float = 0.0
+        self._best_path: Optional[str] = None
+        os.makedirs(save_dir, exist_ok=True)
+        # resume awareness: adopt an existing best file if present
+        existing = sorted(glob.glob(os.path.join(save_dir, "model_*.ckpt")))
+        if existing:
+            try:
+                self._best_path = existing[-1]
+                self.best = float(os.path.basename(existing[-1])[6:-5])
+            except ValueError:
+                pass
+
+    def update(self, score: float, state: TrainState, meta: Optional[Dict] = None) -> bool:
+        if score < self.best:
+            return False
+        if self._best_path and os.path.exists(self._best_path):
+            os.remove(self._best_path)
+        self._best_path = os.path.join(self.save_dir, "model_%.2f.ckpt" % score)
+        save_checkpoint(self._best_path, state, meta)
+        self.best = score
+        return True
+
+    def save_final(self, state: TrainState, meta: Optional[Dict] = None) -> str:
+        path = os.path.join(self.save_dir, "final_model.ckpt")
+        save_checkpoint(path, state, meta)
+        return path
+
+
+def save_run_config(save_dir: str, cfg_dict: Dict[str, Any]) -> None:
+    """Provenance snapshot — the reference copies its whole source tree
+    (train.py:534-536); we record the resolved config + package version."""
+    os.makedirs(save_dir, exist_ok=True)
+    import ramdsir_tpu
+
+    with open(os.path.join(save_dir, "run_config.json"), "w") as f:
+        json.dump({"version": ramdsir_tpu.__version__, "config": cfg_dict}, f, indent=2, default=str)

@@ -1,0 +1,193 @@
+"""Leave-one-domain-out evaluation.
+
+  * eval_fundus: slice eval — predict at train resolution, bilinear-resize
+    each probability map back to the ORIGINAL mask size on host, threshold
+    0.75 + largest-CC/fill-holes postprocess, cup/disc Dice (and optionally
+    HD95/ASD with the empty-prediction sentinel 100).  Mirrors
+    code/train.py:91-132 and code/test_fundus_slice.py:100-165.
+  * eval_prostate_volumes: 3-D volume eval — min-max normalize to [-1,1],
+    slide a 3-slice window in batches of floor(D/batch) (leftover slices
+    dropped, a reference quirk kept for parity), zero predictions on
+    empty-GT slices, largest-CC cleanup, volume Dice/HD95/ASD.  Mirrors
+    code/train.py:134-192 and code/test_prostate_volume.py:85-150.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ramdsir_tpu.config import PROSTATE_VOLUME_DOMAINS
+from ramdsir_tpu.data.fundus import FundusDataset
+from ramdsir_tpu.data.loaders import DataLoader
+from ramdsir_tpu.data.nifti import read_nifti
+from ramdsir_tpu.data.transforms import Compose, Normalize, Resize
+from ramdsir_tpu.ops.metrics import asd as asd_metric
+from ramdsir_tpu.ops.metrics import dice_binary, dice_coeff_2label
+from ramdsir_tpu.ops.metrics import hd95 as hd95_metric
+from ramdsir_tpu.ops.postprocess import connectivity_region_analysis, postprocessing
+from ramdsir_tpu.ops.resize import bilinear_resize_chw
+
+EMPTY_SENTINEL = 100.0  # test_fundus_slice.py:111-131
+
+
+@dataclass
+class FundusEvalResult:
+    cup_dice: float = 0.0
+    disc_dice: float = 0.0
+    hd_oc: float = 0.0
+    hd_od: float = 0.0
+    asd_oc: float = 0.0
+    asd_od: float = 0.0
+    num: int = 0
+
+    @property
+    def avg_dice_pct(self) -> float:
+        return (self.cup_dice + self.disc_dice) * 100.0 / 2
+
+
+def eval_fundus(
+    predict: Callable,
+    state,
+    data_dir: str,
+    test_domain_idx: int,
+    batch_size: int = 8,
+    image_size: int = 256,
+    with_distances: bool = False,
+    dataset_name: str = "fundus",
+    num: Optional[int] = None,
+) -> FundusEvalResult:
+    transform = Compose([Resize((image_size, image_size))])
+    testset = FundusDataset(
+        base_dir=os.path.join(data_dir, dataset_name) if not data_dir.endswith(dataset_name) else data_dir,
+        domain_idx=test_domain_idx,
+        split="test",
+        transform=transform,
+        num=num,
+    )
+    loader = DataLoader(testset, batch_size=batch_size, shuffle=False, drop_last=False)
+
+    res = FundusEvalResult()
+    for batch in loader:
+        probs = np.asarray(predict(state, batch["img"]))  # (B, S, S, 2)
+        for i in range(probs.shape[0]):
+            target = batch["mask_orig"][i]  # (H, W, 2) original size
+            th, tw = target.shape[0], target.shape[1]
+            pred_chw = probs[i].transpose(2, 0, 1)  # (2, S, S)
+            pred_full = bilinear_resize_chw(pred_chw, th, tw)
+            pred_post = postprocessing(pred_full, dataset=dataset_name, threshold=0.75)
+            tgt_chw = target.transpose(2, 0, 1)
+            cup, disc = dice_coeff_2label(pred_post, tgt_chw)
+            res.cup_dice += cup
+            res.disc_dice += disc
+            if with_distances:
+                for ch, (hd_attr, asd_attr) in enumerate(
+                    [("hd_oc", "asd_oc"), ("hd_od", "asd_od")]
+                ):
+                    p, t = pred_post[ch].astype(bool), tgt_chw[ch].astype(bool)
+                    if p.sum() < 1e-4 or t.sum() == 0:
+                        hd, a = EMPTY_SENTINEL, EMPTY_SENTINEL
+                    else:
+                        hd, a = hd95_metric(p, t), asd_metric(p, t)
+                    setattr(res, hd_attr, getattr(res, hd_attr) + hd)
+                    setattr(res, asd_attr, getattr(res, asd_attr) + a)
+            res.num += 1
+
+    if res.num:
+        for f in ("cup_dice", "disc_dice", "hd_oc", "hd_od", "asd_oc", "asd_od"):
+            setattr(res, f, getattr(res, f) / res.num)
+    return res
+
+
+@dataclass
+class ProstateEvalResult:
+    dice: float = 0.0
+    hd: float = 0.0
+    asd: float = 0.0
+    num: int = 0
+    per_case: List[Dict] = field(default_factory=list)
+
+    @property
+    def dice_pct(self) -> float:
+        return self.dice * 100.0
+
+
+def predict_volume(
+    predict: Callable,
+    state,
+    image: np.ndarray,
+    mask: np.ndarray,
+    batch_size: int = 8,
+) -> np.ndarray:
+    """3-slice sliding-window prediction over a (D, H, W) volume."""
+    depth, h, w = image.shape
+    pred_y = np.zeros(mask.shape)
+    frame_list = list(range(1, depth - 1))
+    for ii in range(depth // batch_size):
+        frames = frame_list[ii * batch_size : (ii + 1) * batch_size]
+        vol = np.zeros((batch_size, h, w, 3), np.float32)
+        for idx, jj in enumerate(frames):
+            vol[idx] = image[jj - 1 : jj + 2].transpose(1, 2, 0)
+        probs = np.asarray(predict(state, vol))  # (B, H, W, C)
+        labels = probs.argmax(-1)
+        for idx, jj in enumerate(frames):
+            if mask[jj].sum() == 0:  # empty-GT slices zeroed (quirk kept)
+                continue
+            pred_y[jj] = labels[idx]
+    return pred_y
+
+
+def eval_prostate_volumes(
+    predict: Callable,
+    state,
+    data_dir: str,
+    test_domain_idx: int,
+    batch_size: int = 8,
+    with_distances: bool = False,
+    dataset_name: str = "prostate",
+) -> ProstateEvalResult:
+    domain = PROSTATE_VOLUME_DOMAINS[test_domain_idx]
+    vol_dir = os.path.join(data_dir, dataset_name, domain)
+    files = sorted(f for f in os.listdir(vol_dir) if "segmentation" not in f)
+
+    res = ProstateEvalResult()
+    for name in files:
+        image = read_nifti(os.path.join(vol_dir, name)).astype(np.float64)
+        mask = read_nifti(os.path.join(vol_dir, name.replace(".nii.gz", "_segmentation.nii.gz")))
+        mask = np.asarray(mask)
+        lo, hi = image.min(), image.max()
+        image = 2.0 * (image - lo) / max(hi - lo, 1e-12) - 1.0
+        mask = np.where(mask == 2, 1, mask)
+
+        pred_y = predict_volume(predict, state, image.astype(np.float32), mask, batch_size)
+        processed = connectivity_region_analysis(pred_y)
+
+        d = dice_binary(processed.astype(bool), mask.astype(bool))
+        case = {"id": name, "dice": d}
+        res.dice += d
+        if with_distances:
+            if processed.astype(bool).sum() == 0 or mask.astype(bool).sum() == 0:
+                hd = a = EMPTY_SENTINEL
+            else:
+                hd = hd95_metric(processed.astype(bool), mask.astype(bool))
+                a = asd_metric(processed.astype(bool), mask.astype(bool))
+            res.hd += hd
+            res.asd += a
+            case.update(hd95=hd, asd=a)
+        res.per_case.append(case)
+        res.num += 1
+
+    if res.num:
+        res.dice /= res.num
+        res.hd /= res.num
+        res.asd /= res.num
+    return res
+
+
+def append_csv_log(path: str, fields: List) -> None:
+    """CSV append logging (train.py:125-130 contract)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(",".join(str(x) for x in fields) + "\n")

@@ -1,0 +1,89 @@
+"""Train state: parameters, BN statistics, Adam state, step counter.
+
+The reference's mutable torch modules + optimizer (code/train.py:568-587)
+become one immutable pytree; the whole step is a pure function of it.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ramdsir_tpu.config import TrainConfig
+from ramdsir_tpu.models import Decoder, Encoder, RecDecoder
+
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8  # train.py:573-587
+
+
+@struct.dataclass
+class TrainState:
+    params: Dict[str, Any]
+    batch_stats: Dict[str, Any]
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def build_models(cfg: TrainConfig) -> Dict[str, Any]:
+    """Encoder/Decoder/RecDecoder instances (train.py:568-572)."""
+    models = {
+        "encoder": Encoder(c=cfg.in_channels, norm=cfg.norm, activation=cfg.activation),
+        "seg_decoder": Decoder(
+            num_classes=cfg.num_classes, norm=cfg.norm, activation=cfg.activation
+        ),
+    }
+    if cfg.rec:
+        models["rec_decoder"] = RecDecoder(
+            num_classes=cfg.in_channels,
+            norm="dsbn",
+            activation=cfg.activation,
+            num_domains=cfg.num_domains,
+        )
+    return models
+
+
+def adam_optimizer() -> optax.GradientTransformation:
+    """Adam core (direction only; LR and param-group factors are applied in
+    the train step so the poly schedule and the encoder lr/2 group exactly
+    mirror train.py:289-296)."""
+    return optax.scale_by_adam(b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+
+
+def init_state(
+    cfg: TrainConfig,
+    rng: jax.Array,
+    image_hw: Optional[Tuple[int, int]] = None,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    h = w = cfg.image_size
+    if image_hw is not None:
+        h, w = image_hw
+    models = build_models(cfg)
+    keys = jax.random.split(rng, 3)
+
+    x = jnp.zeros((1, h, w, cfg.in_channels), jnp.float32)
+    enc_vars = models["encoder"].init(keys[0], x, train=False)
+    feats = models["encoder"].apply(enc_vars, x, train=False)
+    seg_vars = models["seg_decoder"].init(keys[1], feats, train=False)
+
+    params = {"encoder": enc_vars["params"], "seg_decoder": seg_vars["params"]}
+    batch_stats = {
+        "encoder": enc_vars.get("batch_stats", {}),
+        "seg_decoder": seg_vars.get("batch_stats", {}),
+    }
+    if cfg.rec:
+        rec_vars = models["rec_decoder"].init(
+            keys[2], feats[-1], domain=jnp.int32(0), train=False
+        )
+        params["rec_decoder"] = rec_vars["params"]
+        batch_stats["rec_decoder"] = rec_vars.get("batch_stats", {})
+
+    opt_state = adam_optimizer().init(params)
+    state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, models

@@ -1,0 +1,219 @@
+"""Jitted train/predict steps.
+
+One `jax.jit`-compiled function covers what the reference spreads over the
+hot loop (code/train.py:223-331 fundus, :393-498 prostate): on-device RAM
+augmentation, the dual forward (clean + frequency-mixed), all losses, the
+Adam update, and the per-iteration poly LR with param-group factors.
+
+Parallelism: the functions are pure and shape-static; under a
+`jax.sharding.Mesh` with the batch sharded on the 'data' axis, XLA inserts
+the gradient psum and the (global-batch sync) BN reductions over ICI —
+matching the reference's effective single-device BN numerics.  See
+ramdsir_tpu.parallel.mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ramdsir_tpu.config import CONSISTENCY_WEIGHT, POLY_POWER, TrainConfig
+from ramdsir_tpu.ops.losses import (
+    bce_with_logits_loss,
+    cross_entropy_loss,
+    dice_loss,
+    dice_loss_multi,
+    kd_loss,
+    mse_loss,
+)
+from ramdsir_tpu.ops.ram import ram_augment_fundus, ram_augment_prostate
+from ramdsir_tpu.train.state import TrainState, adam_optimizer
+
+
+def _apply_with_stats(module, params, stats, *args, train: bool, **kwargs):
+    """Apply a flax module threading the batch_stats collection."""
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    if train and stats:
+        out, mut = module.apply(variables, *args, train=True, mutable=["batch_stats"], **kwargs)
+        return out, mut["batch_stats"]
+    out = module.apply(variables, *args, train=train, **kwargs)
+    return out, stats
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    models: Dict[str, Any],
+    total_iters: int,
+    batch_size_list: Optional[List[int]] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Batch dict (host-produced, raw-range images):
+      fundus:   img/donor (B,H,W,3) float32 in [0,255], mask (B,H,W,2) float
+      prostate: img/donor (B,H,W,3) float32 in [-1,1], mask (B,H,W) int32
+    The per-domain sub-batch boundaries come from `batch_size_list`
+    (train.py:35-45); slices are static so the DSIR per-domain loop unrolls.
+    """
+    is_fundus = cfg.dataset == "fundus"
+    bsl = batch_size_list or cfg.batch_size_list
+    opt = adam_optimizer()
+    lambda_rec = cfg.lambda_rec
+    base_lr = float(cfg.lr)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch_stats, batch, key):
+        stats = dict(batch_stats)
+        metrics = {}
+
+        if cfg.ram:
+            aug = ram_augment_fundus if is_fundus else ram_augment_prostate
+            img, img_freq = aug(
+                batch["img"], batch["donor"], key, use_pallas=cfg.ram_use_pallas
+            )
+        else:
+            img = batch["img"] / 127.5 - 1.0 if is_fundus else batch["img"]
+            img_freq = None
+        mask = batch["mask"]
+
+        def forward(x, stats):
+            feats, enc_stats = _apply_with_stats(
+                models["encoder"], params["encoder"], stats["encoder"],
+                x.astype(compute_dtype), train=True,
+            )
+            logits, seg_stats = _apply_with_stats(
+                models["seg_decoder"], params["seg_decoder"], stats["seg_decoder"],
+                feats, train=True,
+            )
+            new_stats = dict(stats)
+            new_stats["encoder"], new_stats["seg_decoder"] = enc_stats, seg_stats
+            return feats, logits.astype(jnp.float32), new_stats
+
+        _, logits1, stats = forward(img, stats)
+        if is_fundus:
+            pred1 = jax.nn.sigmoid(logits1)
+            loss_sup1 = bce_with_logits_loss(logits1, mask)
+            loss_dice1 = dice_loss(pred1, mask)
+        else:
+            pred1 = jax.nn.softmax(logits1, axis=-1)
+            loss_sup1 = cross_entropy_loss(logits1, mask)
+            loss_dice1 = dice_loss_multi(pred1, mask, cfg.num_classes, ignore_index=0)
+
+        loss = loss_sup1 + loss_dice1
+        metrics.update(loss_sup_1=loss_sup1, loss_dice_1=loss_dice1)
+
+        if cfg.ram:
+            feats_f, logits2, stats = forward(img_freq, stats)
+            if is_fundus:
+                pred2 = jax.nn.sigmoid(logits2)
+                loss_sup2 = bce_with_logits_loss(logits2, mask)
+                loss_dice2 = dice_loss(pred2, mask)
+            else:
+                pred2 = jax.nn.softmax(logits2, axis=-1)
+                loss_sup2 = cross_entropy_loss(logits2, mask)
+                loss_dice2 = dice_loss_multi(pred2, mask, cfg.num_classes, ignore_index=0)
+            loss = loss + loss_sup2 + loss_dice2
+
+            loss_consistency = jnp.float32(0.0)
+            if cfg.consistency:
+                if cfg.consistency_type == "kd":
+                    # eps guards the log against fp32 sigmoid saturation
+                    loss_consistency = kd_loss(pred2, pred1, eps=1e-8)
+                else:
+                    loss_consistency = mse_loss(pred2, pred1)
+            loss = loss + CONSISTENCY_WEIGHT * loss_consistency
+
+            avg_rec = jnp.float32(0.0)
+            if cfg.rec:
+                rec_stats = stats["rec_decoder"]
+                left = 0
+                for train_idx, bs in enumerate(bsl):
+                    right = left + bs
+                    rec_out, rec_stats = _apply_with_stats(
+                        models["rec_decoder"], params["rec_decoder"], rec_stats,
+                        feats_f[-1][left:right], train=True,
+                        domain=jnp.int32(train_idx),
+                    )
+                    rec_soft = jnp.tanh(rec_out.astype(jnp.float32))
+                    loss_rec = mse_loss(rec_soft, img[left:right])
+                    loss = loss + lambda_rec * loss_rec
+                    avg_rec = avg_rec + loss_rec
+                    left = right
+                stats = dict(stats)
+                stats["rec_decoder"] = rec_stats
+            metrics.update(
+                loss_sup_2=loss_sup2,
+                loss_dice_2=loss_dice2,
+                loss_consistency=loss_consistency,
+                # reference TB logs avg_rec_loss/4 regardless of domain count
+                loss_rec=avg_rec / 4.0,
+            )
+        metrics["loss"] = loss
+        return loss, (stats, metrics)
+
+    group_factor = {"encoder": 0.5 if cfg.rec else 1.0}
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, key
+        )
+        updates, new_opt_state = opt.update(grads, state.opt_state)
+        # poly LR (train.py:289-296); first step uses the base LR like the
+        # reference (its schedule is applied post-step).
+        lr = base_lr * (1.0 - state.step.astype(jnp.float32) / total_iters) ** POLY_POWER
+        new_params = {}
+        for name, tree in updates.items():
+            f = group_factor.get(name, 1.0)
+            new_params[name] = jax.tree.map(
+                lambda p, u: p - lr * f * u, state.params[name], tree
+            )
+        metrics["lr"] = lr
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_predict_fn(
+    cfg: TrainConfig, models: Dict[str, Any], bn_adapt: bool = False
+) -> Callable:
+    """Jitted inference: probabilities from raw-range images.
+
+    bn_adapt=True reproduces the eval CLIs' default "BatchNorm adaptation"
+    (test_fundus_slice.py:75-86): normalization uses the *test batch*
+    statistics; the mutated running stats are discarded (they never affect
+    train-mode outputs, so this is prediction-equivalent to the reference's
+    in-place module mutation).
+    """
+    is_fundus = cfg.dataset == "fundus"
+
+    @jax.jit
+    def predict(state: TrainState, img: jax.Array) -> jax.Array:
+        x = img / 127.5 - 1.0 if is_fundus else img
+        train_flag = bool(bn_adapt)
+        feats, _ = _apply_with_stats(
+            models["encoder"], state.params["encoder"], state.batch_stats["encoder"],
+            x, train=train_flag,
+        )
+        logits, _ = _apply_with_stats(
+            models["seg_decoder"], state.params["seg_decoder"], state.batch_stats["seg_decoder"],
+            feats, train=train_flag,
+        )
+        logits = logits.astype(jnp.float32)
+        if is_fundus:
+            return jax.nn.sigmoid(logits)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return predict

@@ -1,0 +1,130 @@
+"""Data layer: mask decode, transforms, datasets, loaders, NIfTI I/O."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ramdsir_tpu.data.fundus import FundusDataset, FundusMultiDataset
+from ramdsir_tpu.data.loaders import DataLoader, MultiDomainIterator, concat_domain_batches
+from ramdsir_tpu.data.nifti import read_nifti, write_nifti
+from ramdsir_tpu.data.prostate import ProstateMultiDataset
+from ramdsir_tpu.data.synthetic import make_fundus_tree, make_prostate_tree, make_prostate_volumes
+from ramdsir_tpu.data.transforms import (
+    Compose,
+    CutOut,
+    Hflip,
+    Normalize,
+    RandomScaleCrop,
+    Resize,
+    decode_fundus_mask,
+    fundus_multilabel,
+    to_multilabel,
+)
+
+
+@pytest.fixture(scope="session")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    make_fundus_tree(root, per_domain_train=12, per_domain_test=3, size=48)
+    make_prostate_tree(root, per_domain=5, size=48)
+    make_prostate_volumes(root, per_domain=1, depth=10, size=48)
+    return root
+
+
+def test_mask_decode_roundtrip():
+    gray = np.array([[255, 128, 0], [200, 51, 50]], np.uint8)
+    cls = decode_fundus_mask(gray)
+    # >200 -> bg, 51..200 -> disc, <=50 -> cup
+    np.testing.assert_array_equal(cls, [[0, 1, 2], [1, 1, 2]])
+    ml = to_multilabel(cls)
+    # cup channel marks class 2 only; disc channel marks classes 1 and 2
+    np.testing.assert_array_equal(ml[..., 0], cls == 2)
+    np.testing.assert_array_equal(ml[..., 1], (cls == 1) | (cls == 2))
+
+
+def test_transforms_shapes():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (40, 60, 3), np.uint8))
+    mask = Image.fromarray(rng.choice([0, 128, 255], (40, 60)).astype(np.uint8))
+    sample = {"img": img, "mask": mask}
+    t = Compose([Resize((32, 32)), RandomScaleCrop((32, 32), rng), Hflip(rng), CutOut(rng=rng), Normalize()])
+    out = t(sample)
+    assert out["img"].shape == (32, 32, 3) and out["img"].dtype == np.float32
+    assert out["mask"].shape == (32, 32, 2)
+    assert set(np.unique(out["mask"])) <= {0.0, 1.0}
+
+
+def test_fundus_datasets(data_root):
+    base = os.path.join(data_root, "fundus")
+    test_ds = FundusDataset(base, domain_idx=3, split="test", transform=Compose([Resize((32, 32))]))
+    item = test_ds[0]
+    assert item["img"].shape == (32, 32, 3)
+    assert item["mask_orig"].shape == (48, 48, 2)
+
+    train_ds = FundusMultiDataset(
+        base, domain_idx_list=[0], transform=Compose([Resize((32, 32))]),
+        is_freq=True, is_out_domain=True, test_domain_idx=3, donor_size=32,
+        rng=np.random.default_rng(0),
+    )
+    it = train_ds[0]
+    assert it["img"].shape == (32, 32, 3) and it["donor"].shape == (32, 32, 3)
+    assert it["mask"].shape == (32, 32, 2)
+
+
+def test_prostate_dataset(data_root):
+    base = os.path.join(data_root, "prostate")
+    ds = ProstateMultiDataset(base, domain_idx_list=[0], is_freq=True, is_out_domain=True,
+                              test_domain_idx=5, rng=np.random.default_rng(0))
+    it = ds[0]
+    assert it["img"].shape == (48, 48, 3) and it["donor"].shape == (48, 48, 3)
+    assert it["mask"].dtype == np.int32
+
+
+def test_loader_and_multidomain(data_root):
+    base = os.path.join(data_root, "fundus")
+    loaders = []
+    for d, bs in [(0, 2), (1, 4), (2, 6)]:
+        ds = FundusMultiDataset(base, [d], transform=Compose([Resize((32, 32))]),
+                                is_freq=True, test_domain_idx=3, donor_size=32,
+                                rng=np.random.default_rng(d))
+        loaders.append(DataLoader(ds, batch_size=bs, seed=d))
+    mdi = MultiDomainIterator(loaders)
+    assert len(mdi) == max(12 // 2, 12 // 4, 12 // 6)
+    steps = 0
+    for per_domain in mdi:
+        batch = concat_domain_batches(per_domain, ("img", "donor", "mask"))
+        assert batch["img"].shape == (12, 32, 32, 3)
+        steps += 1
+    assert steps == len(mdi)
+
+
+def test_loader_drop_last_guard(data_root):
+    base = os.path.join(data_root, "fundus")
+    ds = FundusMultiDataset(base, [0], transform=Compose([Resize((32, 32))]),
+                            is_freq=False, test_domain_idx=3)
+    with pytest.raises(ValueError):
+        MultiDomainIterator([DataLoader(ds, batch_size=100)])
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    for dtype in [np.float32, np.int16, np.uint8]:
+        vol = (rng.uniform(0, 100, (5, 7, 9))).astype(dtype)
+        p = str(tmp_path / f"vol_{np.dtype(dtype).name}.nii.gz")
+        write_nifti(p, vol)
+        back = read_nifti(p)
+        np.testing.assert_array_equal(back, vol)
+    # uncompressed too
+    p = str(tmp_path / "v.nii")
+    write_nifti(p, np.arange(24, dtype=np.int32).reshape(2, 3, 4))
+    np.testing.assert_array_equal(read_nifti(p), np.arange(24).reshape(2, 3, 4))
+
+
+def test_synthetic_volume_readable(data_root):
+    vol_dir = os.path.join(data_root, "prostate", "ISBI")
+    files = [f for f in os.listdir(vol_dir) if "segmentation" not in f]
+    img = read_nifti(os.path.join(vol_dir, files[0]))
+    seg = read_nifti(os.path.join(vol_dir, files[0].replace(".nii.gz", "_segmentation.nii.gz")))
+    assert img.shape == seg.shape == (10, 48, 48)
+    assert seg.max() == 1

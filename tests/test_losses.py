@@ -6,6 +6,7 @@ import torch.nn.functional as F
 
 from ramdsir_tpu.ops.losses import (
     bce_loss,
+    bce_with_logits_loss,
     cross_entropy_loss,
     dice_loss,
     dice_loss_multi,
@@ -26,6 +27,34 @@ def test_bce_matches_torch():
     want = torch.nn.BCELoss()(torch.from_numpy(p), torch.from_numpy(t)).item()
     got = float(bce_loss(jnp.asarray(p), jnp.asarray(t)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bce_with_logits_matches_torch():
+    logits = RNG.normal(0, 3, (4, 8, 8, 2)).astype(np.float32)
+    t = (RNG.uniform(size=(4, 8, 8, 2)) > 0.5).astype(np.float32)
+    want = torch.nn.BCEWithLogitsLoss()(torch.from_numpy(logits), torch.from_numpy(t)).item()
+    got = float(bce_with_logits_loss(jnp.asarray(logits), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # equals BCELoss(sigmoid(x)) in the non-saturated regime (reference path)
+    want2 = torch.nn.BCELoss()(torch.sigmoid(torch.from_numpy(logits)), torch.from_numpy(t)).item()
+    np.testing.assert_allclose(got, want2, rtol=1e-4)
+
+
+def test_bce_with_logits_saturation_is_finite_and_grad_safe():
+    import jax
+
+    logits = jnp.asarray([[40.0, -40.0]], jnp.float32)
+    t = jnp.asarray([[0.0, 1.0]], jnp.float32)
+    val = bce_with_logits_loss(logits, t)
+    assert np.isfinite(float(val))
+    g = jax.grad(lambda x: bce_with_logits_loss(x, t))(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    # probability-input variant is also finite at exact 0/1
+    p = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    val2 = bce_loss(p, t)
+    assert np.isfinite(float(val2))
+    g2 = jax.grad(lambda x: bce_loss(x, t))(p)
+    assert np.isfinite(np.asarray(g2)).all()
 
 
 def test_dice_loss_reference_formula():
