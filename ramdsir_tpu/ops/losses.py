@@ -115,3 +115,94 @@ def mse_loss(a: jax.Array, b: jax.Array) -> jax.Array:
     """torch nn.MSELoss (mean)."""
     diff = a.astype(jnp.float32) - b.astype(jnp.float32)
     return jnp.mean(jnp.square(diff))
+
+
+# --- The remainder of the reference loss library (losses.py:35-162).
+# Shipped-but-unused by the reference entry points; provided for API
+# completeness.  Channel axis is LAST (NHWC).
+
+
+def dice_loss1(score: jax.Array, target: jax.Array) -> jax.Array:
+    """Linear-denominator soft dice (losses.py:35-43)."""
+    score = score.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    smooth = 1e-5
+    intersect = jnp.sum(score * target)
+    return 1.0 - (2.0 * intersect + smooth) / (jnp.sum(score) + jnp.sum(target) + smooth)
+
+
+def entropy_loss(p: jax.Array, num_classes: int = 2) -> jax.Array:
+    """Mean normalized entropy of probabilities (losses.py:45-50)."""
+    p = p.astype(jnp.float32)
+    ent = -jnp.sum(p * jnp.log(p + 1e-6), axis=-1) / jnp.log(num_classes)
+    return jnp.mean(ent)
+
+
+def entropy_loss_map(p: jax.Array, num_classes: int = 2) -> jax.Array:
+    """Pixelwise normalized entropy map (losses.py:71-73)."""
+    p = p.astype(jnp.float32)
+    return -jnp.sum(p * jnp.log(p + 1e-6), axis=-1, keepdims=True) / jnp.log(num_classes)
+
+
+def entropy_minimization(p: jax.Array) -> jax.Array:
+    """Unnormalized mean entropy (losses.py:152-156)."""
+    p = p.astype(jnp.float32)
+    return jnp.mean(-jnp.sum(p * jnp.log(p + 1e-6), axis=-1))
+
+
+def entropy_map(p: jax.Array) -> jax.Array:
+    """Unnormalized pixelwise entropy (losses.py:159-162)."""
+    p = p.astype(jnp.float32)
+    return -jnp.sum(p * jnp.log(p + 1e-6), axis=-1, keepdims=True)
+
+
+def softmax_dice_loss(input_logits: jax.Array, target_logits: jax.Array) -> jax.Array:
+    """Mean per-class dice between two softmaxes (losses.py:52-68)."""
+    ps = jax.nn.softmax(input_logits.astype(jnp.float32), axis=-1)
+    pt = jax.nn.softmax(target_logits.astype(jnp.float32), axis=-1)
+    n = ps.shape[-1]
+    total = 0.0
+    for i in range(n):
+        total = total + dice_loss1(ps[..., i], pt[..., i])
+    return total / n
+
+
+def softmax_mse_loss(input_logits: jax.Array, target_logits: jax.Array) -> jax.Array:
+    """Elementwise (softmax(a) - softmax(b))^2, unreduced (losses.py:75-87)."""
+    ps = jax.nn.softmax(input_logits.astype(jnp.float32), axis=-1)
+    pt = jax.nn.softmax(target_logits.astype(jnp.float32), axis=-1)
+    return jnp.square(ps - pt)
+
+
+def softmax_kl_loss(input_logits: jax.Array, target_logits: jax.Array) -> jax.Array:
+    """Unreduced pointwise KL(target softmax || input softmax) (losses.py:89-103)."""
+    logp = jax.nn.log_softmax(input_logits.astype(jnp.float32), axis=-1)
+    pt = jax.nn.softmax(target_logits.astype(jnp.float32), axis=-1)
+    return xlogy(pt, pt) - pt * logp
+
+
+def symmetric_mse_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Mean squared difference, gradients to both sides (losses.py:105-113)."""
+    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def focal_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    gamma: float = 2.0,
+    alpha=None,
+    size_average: bool = True,
+) -> jax.Array:
+    """Multi-class focal loss on NHWC logits + int targets (losses.py:115-149)."""
+    logits = logits.astype(jnp.float32).reshape(-1, logits.shape[-1])
+    target = target.reshape(-1).astype(jnp.int32)
+    logpt = jax.nn.log_softmax(logits, axis=-1)
+    logpt = jnp.take_along_axis(logpt, target[:, None], axis=-1)[:, 0]
+    pt = jnp.exp(jax.lax.stop_gradient(logpt))
+    if alpha is not None:
+        alpha = jnp.asarray(alpha, jnp.float32)
+        if alpha.ndim == 0:
+            alpha = jnp.stack([alpha, 1.0 - alpha])
+        logpt = logpt * alpha[target]
+    loss = -((1.0 - pt) ** gamma) * logpt
+    return jnp.mean(loss) if size_average else jnp.sum(loss)

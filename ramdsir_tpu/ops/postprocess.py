@@ -54,6 +54,14 @@ def connectivity_region_analysis(mask: np.ndarray) -> np.ndarray:
     stays all-zero, matching the reference.
     """
     mask = np.asarray(mask)
+    try:
+        from ramdsir_tpu.native import largest_cc_nd_native
+
+        out = largest_cc_nd_native(mask != 0)
+        if out is not None:
+            return out.astype(np.int64 if mask.dtype.kind in "fiu" else mask.dtype)
+    except Exception:
+        pass
     labels, n = ndimage.label(mask)
     sizes = ndimage.sum(mask, labels, range(n + 1))
     winner = int(np.argmax(sizes))
