@@ -98,6 +98,16 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     step = int(state.step)
     done = False
     summary: Dict = {}
+    # Metrics are jax scalars (futures under async dispatch); buffering them
+    # and flushing in bulk keeps the host feeding the device instead of
+    # blocking on every step's values.
+    pending = []
+
+    def flush_metrics():
+        for s, m in pending:
+            writer.add_scalars(m, s, prefix="loss/")
+        pending.clear()
+
     for epoch in range(cfg.epochs):
         if done:
             break
@@ -110,11 +120,14 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             state, metrics = train_step(state, batch, key)
             timer.tick(batch["img"].shape[0])
             if step % cfg.log_interval == 0:
-                writer.add_scalars(metrics, step, prefix="loss/")
+                pending.append((step, metrics))
+                if len(pending) >= 32:
+                    flush_metrics()
             step += 1
             if max_steps is not None and step >= max_steps:
                 done = True
                 break
+        flush_metrics()
 
         if (epoch + 1) % eval_every == 0 or done:
             if cfg.dataset == "fundus":
