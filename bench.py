@@ -53,12 +53,12 @@ def main() -> None:
 
     key = jax.random.PRNGKey(1)
     for i in range(WARMUP_STEPS):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        state, metrics, _ = step(state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):
-        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
+        state, metrics, _ = step(state, batch, jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 

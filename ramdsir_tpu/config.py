@@ -72,6 +72,7 @@ class TrainConfig:
     ram_use_pallas: bool = False  # fuse the band-mix with a Pallas kernel
     prefetch: int = 2  # host->device pipeline depth
     log_interval: int = 1
+    log_images_every: int = 100  # TB image grids (reference: 100); 0 disables
     checkpoint_resume: Optional[str] = None
 
     def resolve(self) -> "TrainConfig":

@@ -59,20 +59,20 @@ class FundusDataset:
         mask = Image.open(os.path.join(self.base_dir, self.domain, entry[1])).convert("L")
         sample = {"img": img, "mask": mask}
         if self.split == "test":
-            orig_mask = fundus_multilabel(np.array(mask))  # (H, W, 2) original size
+            orig_mask = fundus_multilabel(np.array(mask)).astype(np.uint8)
             if self.transform:
                 sample = self.transform(sample)
             return {
-                "img": np.asarray(sample["img"], np.float32),
-                "mask": np.asarray(sample["mask"], np.float32),
+                "img": np.asarray(sample["img"], np.uint8),
+                "mask": np.asarray(sample["mask"], np.uint8),
                 "mask_orig": orig_mask,
                 "id": self.id_path[index],
             }
         if self.transform:
             sample = self.transform(sample)
         return {
-            "img": np.asarray(sample["img"], np.float32),
-            "mask": np.asarray(sample["mask"], np.float32),
+            "img": np.asarray(sample["img"], np.uint8),
+            "mask": np.asarray(sample["mask"], np.uint8),
         }
 
 
@@ -138,7 +138,9 @@ class FundusMultiDataset:
         donor_id = ids[int(self.rng.integers(0, len(ids)))].split(" ")[0]
         donor = Image.open(os.path.join(self.base_dir, donor_domain, donor_id)).convert("RGB")
         donor = donor.resize((self.donor_size, self.donor_size), Image.BILINEAR)
-        return np.asarray(donor, np.float32)
+        # uint8 on the wire: 4x less host->device traffic; the jitted step
+        # promotes to float on device.
+        return np.asarray(donor, np.uint8)
 
     def __getitem__(self, index: int):
         entry = self.id_path[index].split(" ")
@@ -151,8 +153,8 @@ class FundusMultiDataset:
             sample = self.transform(sample)
 
         out = {
-            "img": np.asarray(sample["img"], np.float32),
-            "mask": fundus_multilabel(np.array(sample["mask"])),
+            "img": np.asarray(sample["img"], np.uint8),
+            "mask": fundus_multilabel(np.array(sample["mask"])).astype(np.uint8),
             "domain": np.int32(self.domain_idx_list[0] if len(self.domain_idx_list) == 1 else FUNDUS_DOMAINS.index(cur_domain)),
         }
         if self.is_freq:

@@ -71,7 +71,12 @@ def eval_fundus(
 
     res = FundusEvalResult()
     for batch in loader:
-        probs = np.asarray(predict(state, batch["img"]))  # (B, S, S, 2)
+        imgs = batch["img"]
+        n = imgs.shape[0]
+        if n < batch_size:  # pad the tail batch: one compiled shape only
+            pad = np.repeat(imgs[-1:], batch_size - n, axis=0)
+            imgs = np.concatenate([imgs, pad], axis=0)
+        probs = np.asarray(predict(state, imgs))[:n]  # (B, S, S, 2)
         for i in range(probs.shape[0]):
             target = batch["mask_orig"][i]  # (H, W, 2) original size
             th, tw = target.shape[0], target.shape[1]

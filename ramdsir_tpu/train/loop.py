@@ -9,6 +9,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ramdsir_tpu.config import TrainConfig
@@ -63,6 +64,30 @@ def build_train_loaders(cfg: TrainConfig, data_root: str, seed: int = 0):
     return MultiDomainIterator(loaders)
 
 
+def _log_viz(writer: MetricsWriter, viz: Dict, step: int, cfg: TrainConfig) -> None:
+    """TB image grids matching the reference's tags (train.py:306-329)."""
+    from ramdsir_tpu.utils.logging import decode_seg_map, make_grid
+
+    img = np.asarray(viz["image"])
+    writer.add_image("train/Image", make_grid(img[..., :3]), step)
+    if "image_freq" in viz:
+        writer.add_image("train/Image_Freq", make_grid(np.asarray(viz["image_freq"])[..., :3]), step)
+    if "image_rec" in viz:
+        writer.add_image("train/Image_Rec", make_grid(np.asarray(viz["image_rec"])[..., :3]), step)
+    pred = np.asarray(viz["pred"])
+    mask = np.asarray(viz["mask"])
+    if cfg.dataset == "fundus":
+        writer.add_image("train/Soft_Predicted_OC", make_grid(pred[..., 0]), step)
+        writer.add_image("train/Soft_Predicted_OD", make_grid(pred[..., 1]), step)
+        writer.add_image("train/GT_OC", make_grid(mask[..., 0], normalize=False), step)
+        writer.add_image("train/GT_OD", make_grid(mask[..., 1], normalize=False), step)
+    else:
+        pred_lbl = np.stack([decode_seg_map(p) for p in pred.argmax(-1)])
+        gt_lbl = np.stack([decode_seg_map(m) for m in mask])
+        writer.add_image("train/Predicted", make_grid(pred_lbl, normalize=False), step)
+        writer.add_image("train/GT", make_grid(gt_lbl, normalize=False), step)
+
+
 def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) -> Dict:
     """Train; returns summary dict. eval_every/max_steps allow smoke runs."""
     cfg = cfg.resolve()
@@ -104,8 +129,18 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     pending = []
 
     def flush_metrics():
-        for s, m in pending:
-            writer.add_scalars(m, s, prefix="loss/")
+        if not pending:
+            return
+        # ONE device->host transfer for the whole buffer (readback latency
+        # dominates on tunneled devices; per-scalar pulls are pathological).
+        names = list(pending[0][1].keys())
+        stacked = np.asarray(
+            jax.device_get(
+                jnp.stack([jnp.stack([m[k] for k in names]) for _, m in pending])
+            )
+        )
+        for (s, _), row in zip(pending, stacked):
+            writer.add_scalars(dict(zip(names, row)), s, prefix="loss/")
         pending.clear()
 
     for epoch in range(cfg.epochs):
@@ -117,12 +152,14 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             key = jax.random.fold_in(rng, step)
-            state, metrics = train_step(state, batch, key)
+            state, metrics, viz = train_step(state, batch, key)
             timer.tick(batch["img"].shape[0])
             if step % cfg.log_interval == 0:
                 pending.append((step, metrics))
                 if len(pending) >= 32:
                     flush_metrics()
+            if cfg.log_images_every and step % cfg.log_images_every == 0:
+                _log_viz(writer, viz, step, cfg)  # reference train.py:306-329
             step += 1
             if max_steps is not None and step >= max_steps:
                 done = True

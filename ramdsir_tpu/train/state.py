@@ -60,24 +60,26 @@ def init_state(
     if image_hw is not None:
         h, w = image_hw
     models = build_models(cfg)
-    keys = jax.random.split(rng, 3)
 
-    x = jnp.zeros((1, h, w, cfg.in_channels), jnp.float32)
-    enc_vars = models["encoder"].init(keys[0], x, train=False)
-    feats = models["encoder"].apply(enc_vars, x, train=False)
-    seg_vars = models["seg_decoder"].init(keys[1], feats, train=False)
+    # One jitted program for the whole init: eager flax init dispatches
+    # hundreds of tiny ops, which is pathological on high-latency device
+    # transports (and slow everywhere).
+    def _init_all(rng):
+        keys = jax.random.split(rng, 3)
+        x = jnp.zeros((1, h, w, cfg.in_channels), jnp.float32)
+        enc_vars = models["encoder"].init(keys[0], x, train=False)
+        feats = models["encoder"].apply(enc_vars, x, train=False)
+        seg_vars = models["seg_decoder"].init(keys[1], feats, train=False)
+        out = {"encoder": enc_vars, "seg_decoder": seg_vars}
+        if cfg.rec:
+            out["rec_decoder"] = models["rec_decoder"].init(
+                keys[2], feats[-1], domain=jnp.int32(0), train=False
+            )
+        return out
 
-    params = {"encoder": enc_vars["params"], "seg_decoder": seg_vars["params"]}
-    batch_stats = {
-        "encoder": enc_vars.get("batch_stats", {}),
-        "seg_decoder": seg_vars.get("batch_stats", {}),
-    }
-    if cfg.rec:
-        rec_vars = models["rec_decoder"].init(
-            keys[2], feats[-1], domain=jnp.int32(0), train=False
-        )
-        params["rec_decoder"] = rec_vars["params"]
-        batch_stats["rec_decoder"] = rec_vars.get("batch_stats", {})
+    all_vars = jax.jit(_init_all)(rng)
+    params = {k: v["params"] for k, v in all_vars.items()}
+    batch_stats = {k: v.get("batch_stats", {}) for k, v in all_vars.items()}
 
     opt_state = adam_optimizer().init(params)
     state = TrainState(

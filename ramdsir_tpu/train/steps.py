@@ -128,6 +128,7 @@ def make_train_step(
             loss = loss + CONSISTENCY_WEIGHT * loss_consistency
 
             avg_rec = jnp.float32(0.0)
+            rec_samples = []
             if cfg.rec:
                 rec_stats = stats["rec_decoder"]
                 left = 0
@@ -139,6 +140,7 @@ def make_train_step(
                         domain=jnp.int32(train_idx),
                     )
                     rec_soft = jnp.tanh(rec_out.astype(jnp.float32))
+                    rec_samples.append(rec_soft[0:1])
                     loss_rec = mse_loss(rec_soft, img[left:right])
                     loss = loss + lambda_rec * loss_rec
                     avg_rec = avg_rec + loss_rec
@@ -153,13 +155,25 @@ def make_train_step(
                 loss_rec=avg_rec / 4.0,
             )
         metrics["loss"] = loss
-        return loss, (stats, metrics)
+        # Small viz sample (reference logs grids of batch[0:9:4] every 100
+        # iters, train.py:306-329).  Slicing inside jit keeps the transfer
+        # tiny; host pulls these only when it actually logs images.
+        viz = {
+            "image": img[0:9:4],
+            "pred": pred1[0:9:4],
+            "mask": mask[0:9:4],
+        }
+        if cfg.ram:
+            viz["image_freq"] = img_freq[0:9:4]
+            if cfg.rec and rec_samples:
+                viz["image_rec"] = jnp.concatenate(rec_samples, axis=0)[0:3]
+        return loss, (stats, metrics, viz)
 
     group_factor = {"encoder": 0.5 if cfg.rec else 1.0}
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, (new_stats, metrics, viz)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, key
         )
         updates, new_opt_state = opt.update(grads, state.opt_state)
@@ -181,6 +195,7 @@ def make_train_step(
                 step=state.step + 1,
             ),
             metrics,
+            viz,
         )
 
     return train_step

@@ -44,12 +44,12 @@ def test_sharded_step_matches_single_device(setup):
     cfg, state, step, batch = setup
     key = jax.random.PRNGKey(7)
 
-    new_single, m_single = step(state, batch, key)
+    new_single, m_single, _ = step(state, batch, key)
 
     mesh = get_mesh(8)
     state_r = replicate_state(state, mesh)
     batch_s = shard_batch(batch, mesh)
-    new_sharded, m_sharded = step(state_r, batch_s, key)
+    new_sharded, m_sharded, _ = step(state_r, batch_s, key)
 
     for k in m_single:
         np.testing.assert_allclose(

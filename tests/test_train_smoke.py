@@ -47,7 +47,7 @@ def test_fundus_full_ramdsir_steps(roots):
     rng = jax.random.PRNGKey(1)
     for i, per in enumerate(it):
         batch = concat_domain_batches(per, ("img", "donor", "mask"))
-        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        state, m, _ = step(state, batch, jax.random.fold_in(rng, i))
         assert _metrics_finite(m), m
         losses.append(float(m["loss"]))
         if i == 2:
@@ -68,7 +68,7 @@ def test_plain_supervised_config1(roots):
     step = make_train_step(cfg, models, total_iters=10)
     per = next(iter(it))
     batch = concat_domain_batches(per, ("img", "mask"))
-    state, m = step(state, batch, jax.random.PRNGKey(2))
+    state, m, _ = step(state, batch, jax.random.PRNGKey(2))
     assert _metrics_finite(m)
     assert "loss_consistency" not in m  # no RAM branch
 
@@ -85,7 +85,7 @@ def test_prostate_ramdsir_step_and_volume_eval(roots):
     step = make_train_step(cfg, models, total_iters=10)
     per = next(iter(it))
     batch = concat_domain_batches(per, ("img", "donor", "mask"))
-    state, m = step(state, batch, jax.random.PRNGKey(3))
+    state, m, _ = step(state, batch, jax.random.PRNGKey(3))
     assert _metrics_finite(m)
 
     predict = make_predict_fn(cfg, models)
