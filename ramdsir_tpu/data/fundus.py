@@ -30,6 +30,48 @@ def _read_list(path: str) -> List[str]:
         return [ln.strip() for ln in f if ln.strip()]
 
 
+class _DecodeCache:
+    """Thread-safe decoded-image cache.
+
+    Fundus train sets are tiny (<= 320 images/domain); after the
+    deterministic resize they fit comfortably in RAM (~150 MB for all four
+    domains at 256^2), so steady-state epochs never touch the PNG decoder —
+    the host pipeline cost drops to the random crop/flip ops only.
+    """
+
+    def __init__(self, max_items: int = 4096):
+        import threading
+
+        self.max_items = max_items
+        self._store = {}
+        self._lock = threading.Lock()
+
+    def get(self, key, build):
+        with self._lock:
+            if key in self._store:
+                return self._store[key]
+        val = build()
+        with self._lock:
+            if len(self._store) < self.max_items:
+                self._store[key] = val
+        return val
+
+
+def _load_resized(cache: Optional[_DecodeCache], path: str, size: Optional[int], mode: str):
+    """Decode (and optionally bilinear/nearest-resize) an image, cached."""
+
+    def build():
+        img = Image.open(path).convert(mode)
+        if size is not None:
+            resample = Image.NEAREST if mode == "L" else Image.BILINEAR
+            img = img.resize((size, size), resample)
+        return np.asarray(img, np.uint8)
+
+    if cache is None:
+        return build()
+    return cache.get((path, size, mode), build)
+
+
 class FundusDataset:
     """Single-domain dataset; test mode also returns the original-size mask
     (fundus.py:96-116) for resize-back evaluation."""
@@ -97,10 +139,16 @@ class FundusMultiDataset:
         test_domain_idx: Optional[int] = None,
         donor_size: int = 256,
         rng: Optional[np.random.Generator] = None,
+        resize_to: Optional[int] = None,
+        cache: bool = True,
+        np_transform=None,
     ):
         self.base_dir = base_dir
         self.domain_idx_list = list(domain_idx_list)
         self.transform = transform
+        self.np_transform = np_transform  # (img_u8, mask_u8) -> (img, mask)
+        self.resize_to = resize_to
+        self._cache = _DecodeCache() if cache else None
         self.is_freq = is_freq
         self.is_out_domain = is_out_domain
         self.test_domain_idx = test_domain_idx
@@ -136,25 +184,32 @@ class FundusMultiDataset:
         donor_domain = pool[int(self.rng.integers(0, len(pool)))]
         ids = self._donor_ids(donor_domain)
         donor_id = ids[int(self.rng.integers(0, len(ids)))].split(" ")[0]
-        donor = Image.open(os.path.join(self.base_dir, donor_domain, donor_id)).convert("RGB")
-        donor = donor.resize((self.donor_size, self.donor_size), Image.BILINEAR)
         # uint8 on the wire: 4x less host->device traffic; the jitted step
         # promotes to float on device.
-        return np.asarray(donor, np.uint8)
+        return _load_resized(
+            self._cache,
+            os.path.join(self.base_dir, donor_domain, donor_id),
+            self.donor_size,
+            "RGB",
+        )
 
     def __getitem__(self, index: int):
         entry = self.id_path[index].split(" ")
-        img = Image.open(os.path.join(self.base_dir, entry[0])).convert("RGB")
-        mask = Image.open(os.path.join(self.base_dir, entry[1])).convert("L")
         cur_domain = entry[0].split("/")[0]
-
-        sample = {"img": img, "mask": mask}
-        if self.transform:
-            sample = self.transform(sample)
+        # cached decode (+ deterministic resize when resize_to is set); the
+        # random transform suffix runs per item below
+        img_np = _load_resized(self._cache, os.path.join(self.base_dir, entry[0]), self.resize_to, "RGB")
+        mask_np = _load_resized(self._cache, os.path.join(self.base_dir, entry[1]), self.resize_to, "L")
+        if self.np_transform is not None:  # GIL-friendly numpy/cv2 path
+            img_np, mask_np = self.np_transform(img_np, mask_np)
+        elif self.transform:
+            sample = self.transform({"img": Image.fromarray(img_np), "mask": Image.fromarray(mask_np)})
+            img_np = np.asarray(sample["img"], np.uint8)
+            mask_np = np.array(sample["mask"])
 
         out = {
-            "img": np.asarray(sample["img"], np.uint8),
-            "mask": fundus_multilabel(np.array(sample["mask"])).astype(np.uint8),
+            "img": np.asarray(img_np, np.uint8),
+            "mask": fundus_multilabel(mask_np).astype(np.uint8),
             "domain": np.int32(self.domain_idx_list[0] if len(self.domain_idx_list) == 1 else FUNDUS_DOMAINS.index(cur_domain)),
         }
         if self.is_freq:

@@ -146,3 +146,88 @@ class MultiDomainIterator:
 def concat_domain_batches(batches: List[Dict[str, np.ndarray]], keys: Sequence[str]) -> Dict[str, np.ndarray]:
     """Concatenate per-domain sub-batches along axis 0 (train.py:232-242)."""
     return {k: np.concatenate([b[k] for b in batches], axis=0) for k in keys}
+
+
+class FusedMultiDomainLoader:
+    """Workers assemble the COMBINED multi-domain batch directly.
+
+    Semantics match MultiDomainIterator + concat_domain_batches (per-domain
+    sub-batches of fixed sizes, domain-major order, longest domain defines
+    the epoch, shorter domains cycle with reshuffle), but each step's full
+    (sum(b_i), H, W, C) arrays are written by a worker thread into their
+    final layout — the main thread only hands the dict to the device, so
+    the jit dispatch chain is never blocked on host assembly.
+    """
+
+    def __init__(
+        self,
+        datasets: Sequence,
+        batch_sizes: Sequence[int],
+        keys: Sequence[str],
+        num_workers: int = 6,
+        seed: Optional[int] = None,
+        prefetch: int = 4,
+    ):
+        assert len(datasets) == len(batch_sizes)
+        self.datasets = list(datasets)
+        self.batch_sizes = list(batch_sizes)
+        self.keys = list(keys)
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        lens = [len(ds) // bs for ds, bs in zip(datasets, batch_sizes)]
+        for i, n in enumerate(lens):
+            if n == 0:
+                raise ValueError(
+                    f"domain {i}: dataset size {len(datasets[i])} < batch size {batch_sizes[i]}"
+                )
+        self.steps_per_epoch = max(lens)
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+    def _epoch_plan(self) -> List[List[np.ndarray]]:
+        """Per-step, per-domain index lists for one epoch."""
+        plan = [[None] * len(self.datasets) for _ in range(self.steps_per_epoch)]
+        for d, (ds, bs) in enumerate(zip(self.datasets, self.batch_sizes)):
+            order = self.rng.permutation(len(ds))
+            pos = 0
+            for s in range(self.steps_per_epoch):
+                if pos + bs > len(order):  # wrap: reshuffle (see DataLoader note)
+                    order = self.rng.permutation(len(ds))
+                    pos = 0
+                plan[s][d] = order[pos : pos + bs]
+                pos += bs
+        return plan
+
+    def _build_step(self, assignments: List[np.ndarray]) -> Dict[str, np.ndarray]:
+        out: Dict[str, Optional[np.ndarray]] = {k: None for k in self.keys}
+        row = 0
+        for d, idxs in enumerate(assignments):
+            for i in idxs:
+                item = self.datasets[d][int(i)]
+                for k in self.keys:
+                    v = np.asarray(item[k])
+                    if out[k] is None:
+                        total = sum(len(a) for a in assignments)
+                        out[k] = np.empty((total,) + v.shape, v.dtype)
+                    out[k][row] = v
+                row += 1
+        return out  # type: ignore[return-value]
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        plan = self._epoch_plan()
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            window = []
+            nxt = 0
+            while nxt < len(plan) and len(window) < self.prefetch:
+                window.append(pool.submit(self._build_step, plan[nxt]))
+                nxt += 1
+            while window:
+                fut = window.pop(0)
+                if nxt < len(plan):
+                    window.append(pool.submit(self._build_step, plan[nxt]))
+                    nxt += 1
+                yield fut.result()

@@ -344,6 +344,39 @@ class Normalize:
         return out
 
 
+def np_random_scale_crop(
+    img: np.ndarray, mask: np.ndarray, size: int, rng: np.random.Generator
+):
+    """Numpy/cv2 fast path of RandomScaleCrop (same distribution): p=0.5
+    upscale by U(1,1.5) (bilinear img / nearest mask) then random crop.
+    cv2 releases the GIL, so loader threads don't stall the jit dispatch."""
+    try:
+        import cv2
+
+        resize = lambda a, w, h, interp: cv2.resize(a, (w, h), interpolation=interp)
+        LINEAR, NEAREST = cv2.INTER_LINEAR, cv2.INTER_NEAREST
+    except Exception:  # PIL fallback
+        def resize(a, w, h, interp):
+            im = Image.fromarray(a)
+            return np.asarray(im.resize((w, h), interp), a.dtype)
+
+        LINEAR, NEAREST = Image.BILINEAR, Image.NEAREST
+
+    if rng.random() > 0.5:
+        h0, w0 = img.shape[:2]
+        w = int(rng.uniform(1.0, 1.5) * w0)
+        h = int(rng.uniform(1.0, 1.5) * h0)
+        img = resize(img, w, h, LINEAR)
+        mask = resize(mask, w, h, NEAREST)
+    h0, w0 = img.shape[:2]
+    y = int(rng.integers(0, h0 - size + 1))
+    x = int(rng.integers(0, w0 - size + 1))
+    return (
+        np.ascontiguousarray(img[y : y + size, x : x + size]),
+        np.ascontiguousarray(mask[y : y + size, x : x + size]),
+    )
+
+
 class CreateOnehotLabel:
     """Integer mask -> one-hot channels (np_transform.py:142-158)."""
 

@@ -14,9 +14,9 @@ import numpy as np
 
 from ramdsir_tpu.config import TrainConfig
 from ramdsir_tpu.data.fundus import FundusMultiDataset
-from ramdsir_tpu.data.loaders import DataLoader, MultiDomainIterator, concat_domain_batches
+from ramdsir_tpu.data.loaders import FusedMultiDomainLoader
 from ramdsir_tpu.data.prostate import ProstateMultiDataset
-from ramdsir_tpu.data.transforms import Compose, RandomScaleCrop, Resize
+from ramdsir_tpu.data.transforms import np_random_scale_crop
 from ramdsir_tpu.parallel.mesh import get_mesh, replicate_state, shard_batch
 from ramdsir_tpu.train.checkpoint import BestKeeper, load_checkpoint, save_run_config
 from ramdsir_tpu.train.evaluate import (
@@ -31,25 +31,28 @@ from ramdsir_tpu.utils.profiler import StepTimer
 
 
 def build_train_loaders(cfg: TrainConfig, data_root: str, seed: int = 0):
-    """One loader per source domain with its hard-coded sub-batch size
-    (train.py:549-566); epoch length = longest loader."""
-    loaders = []
+    """Per-source-domain datasets with their hard-coded sub-batch sizes
+    (train.py:549-566) behind a fused loader: workers assemble the complete
+    combined batch off the main thread; epoch length = longest domain."""
+    datasets = []
     bsl = cfg.batch_size_list
     for idx, d in enumerate(cfg.domain_idxs):
         rng = np.random.default_rng(seed + idx)
         if cfg.dataset == "fundus":
-            transform = Compose(
-                [Resize((cfg.image_size, cfg.image_size)), RandomScaleCrop((cfg.image_size, cfg.image_size), rng)]
-            )
+            # deterministic Resize runs inside the dataset's decode cache;
+            # the random scale/crop suffix uses the GIL-friendly cv2 path
+            size = cfg.image_size
+            np_aug = lambda im, mk, _rng=rng: np_random_scale_crop(im, mk, size, _rng)
             ds = FundusMultiDataset(
                 base_dir=data_root,
                 domain_idx_list=[d],
-                transform=transform,
+                np_transform=np_aug,
                 is_freq=cfg.ram,
                 is_out_domain=cfg.is_out_domain,
                 test_domain_idx=cfg.test_domain_idx,
                 donor_size=cfg.image_size,
                 rng=rng,
+                resize_to=cfg.image_size,
             )
         else:
             ds = ProstateMultiDataset(
@@ -60,8 +63,11 @@ def build_train_loaders(cfg: TrainConfig, data_root: str, seed: int = 0):
                 test_domain_idx=cfg.test_domain_idx,
                 rng=rng,
             )
-        loaders.append(DataLoader(ds, batch_size=bsl[idx], shuffle=True, drop_last=True, seed=seed + idx))
-    return MultiDomainIterator(loaders)
+        datasets.append(ds)
+    keys = ("img", "donor", "mask") if cfg.ram else ("img", "mask")
+    return FusedMultiDomainLoader(
+        datasets, bsl[: len(datasets)], keys, seed=seed, prefetch=cfg.prefetch + 2
+    )
 
 
 def _log_viz(writer: MetricsWriter, viz: Dict, step: int, cfg: TrainConfig) -> None:
@@ -118,7 +124,6 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     writer = MetricsWriter(os.path.join(save_dir, "log"))
     keeper = BestKeeper(save_dir)
     timer = StepTimer()
-    keys = ("img", "donor", "mask") if cfg.ram else ("img", "mask")
 
     step = int(state.step)
     done = False
@@ -147,8 +152,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
         if done:
             break
         t_ep = time.time()
-        for per_domain in domain_iter:
-            batch = concat_domain_batches(per_domain, keys)
+        for batch in domain_iter:
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             key = jax.random.fold_in(rng, step)

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import pytest
 
 from ramdsir_tpu.config import TrainConfig
-from ramdsir_tpu.data.loaders import concat_domain_batches
 from ramdsir_tpu.data.synthetic import make_fundus_tree, make_prostate_tree, make_prostate_volumes
 from ramdsir_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ramdsir_tpu.train.evaluate import eval_prostate_volumes
@@ -45,8 +44,7 @@ def test_fundus_full_ramdsir_steps(roots):
     step = make_train_step(cfg, models, total_iters=10)
     losses = []
     rng = jax.random.PRNGKey(1)
-    for i, per in enumerate(it):
-        batch = concat_domain_batches(per, ("img", "donor", "mask"))
+    for i, batch in enumerate(it):
         state, m, _ = step(state, batch, jax.random.fold_in(rng, i))
         assert _metrics_finite(m), m
         losses.append(float(m["loss"]))
@@ -66,8 +64,7 @@ def test_plain_supervised_config1(roots):
     it = build_train_loaders(cfg, os.path.join(roots, "fundus"), seed=0)
     state, models = init_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, models, total_iters=10)
-    per = next(iter(it))
-    batch = concat_domain_batches(per, ("img", "mask"))
+    batch = next(iter(it))
     state, m, _ = step(state, batch, jax.random.PRNGKey(2))
     assert _metrics_finite(m)
     assert "loss_consistency" not in m  # no RAM branch
@@ -83,8 +80,7 @@ def test_prostate_ramdsir_step_and_volume_eval(roots):
     it = build_train_loaders(cfg, os.path.join(roots, "prostate"), seed=0)
     state, models = init_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, models, total_iters=10)
-    per = next(iter(it))
-    batch = concat_domain_batches(per, ("img", "donor", "mask"))
+    batch = next(iter(it))
     state, m, _ = step(state, batch, jax.random.PRNGKey(3))
     assert _metrics_finite(m)
 
