@@ -42,6 +42,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", type=int, default=None, help="data-parallel shards")
     p.add_argument("--ram_use_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true", help="rematerialize the forward (saves HBM)")
     p.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     p.add_argument("--max_steps", type=int, default=None, help="smoke-run cap")
     return p.parse_args(argv)
@@ -75,6 +76,7 @@ def main(argv=None):
         compute_dtype=a.compute_dtype,
         num_devices=a.num_devices,
         ram_use_pallas=a.ram_use_pallas,
+        remat=a.remat,
         checkpoint_resume=a.resume,
     )
     summary = fit(cfg, max_steps=a.max_steps)

@@ -80,7 +80,7 @@ def make_train_step(
             img_freq = None
         mask = batch["mask"]
 
-        def forward(x, stats):
+        def forward_impl(params, stats, x):
             feats, enc_stats = _apply_with_stats(
                 models["encoder"], params["encoder"], stats["encoder"],
                 x.astype(compute_dtype), train=True,
@@ -92,6 +92,15 @@ def make_train_step(
             new_stats = dict(stats)
             new_stats["encoder"], new_stats["seg_decoder"] = enc_stats, seg_stats
             return feats, logits.astype(jnp.float32), new_stats
+
+        if cfg.remat:
+            # Recompute the forward in the backward pass: activation memory
+            # drops from O(depth) feature maps to the checkpoint boundary,
+            # buying larger global batches / image sizes per chip.
+            forward_impl = jax.checkpoint(forward_impl)
+
+        def forward(x, stats):
+            return forward_impl(params, stats, x)
 
         _, logits1, stats = forward(img, stats)
         if is_fundus:

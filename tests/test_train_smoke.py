@@ -123,6 +123,27 @@ def test_fit_smoke_with_eval_and_best(roots, tmp_path):
     assert "cup_dice" in summary
 
 
+def test_remat_matches_plain(roots):
+    """jax.checkpoint changes memory, not math."""
+    base = dict(
+        data_root=roots, dataset="fundus", image_size=32, test_domain_idx=3,
+        domain_idxs=(0, 1, 2), save_path="x", ram=True, rec=True,
+        consistency=True, consistency_type="kd",
+    )
+    it = build_train_loaders(TrainConfig(**base).resolve(), os.path.join(roots, "fundus"), seed=0)
+    batch = next(iter(it))
+    key = jax.random.PRNGKey(9)
+    outs = {}
+    for remat in (False, True):
+        cfg = TrainConfig(**base, remat=remat).resolve()
+        state, models = init_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, models, total_iters=10)
+        _, m, _ = step(state, batch, key)
+        outs[remat] = {k: float(v) for k, v in m.items()}
+    for k in outs[False]:
+        np.testing.assert_allclose(outs[True][k], outs[False][k], rtol=1e-5)
+
+
 def test_bn_adapt_predict_differs_from_frozen(roots):
     cfg = TrainConfig(
         data_root=roots, dataset="fundus", image_size=32, test_domain_idx=3,
