@@ -71,6 +71,7 @@ class TrainConfig:
     num_devices: Optional[int] = None  # data-parallel shard count (None=all)
     ram_use_pallas: bool = False  # fuse the band-mix with a Pallas kernel
     remat: bool = False  # jax.checkpoint the dual forward (memory <-> FLOPs)
+    fused_dsbn: bool = True  # one rec-decoder pass with per-sample domains
     prefetch: int = 2  # host->device pipeline depth
     log_interval: int = 1
     log_images_every: int = 100  # TB image grids (reference: 100); 0 disables

@@ -84,13 +84,24 @@ class DomainSpecificBatchNorm(nn.Module):
     def __call__(
         self, x: jax.Array, domain: jax.Array, *, use_running_average: bool
     ) -> jax.Array:
-        d = jnp.asarray(domain, jnp.int32).reshape(())
+        domain = jnp.asarray(domain, jnp.int32)
         shape = (self.num_domains, self.features)
         scale = self.param("scale", nn.initializers.ones, shape, jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, shape, jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(shape, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(shape, jnp.float32))
 
+        if domain.ndim == 1:
+            # Vectorized mode: per-SAMPLE domain labels.  One pass computes
+            # segment (per-domain) statistics over the whole batch — exactly
+            # the per-sub-batch stats of the looped reference path, but the
+            # convs around this norm run once on the full batch (MXU-friendly
+            # batching instead of 3-7-image slivers).
+            return self._segment_bn(
+                x, domain, scale, bias, ra_mean, ra_var, use_running_average
+            )
+
+        d = domain.reshape(())
         if use_running_average:
             mean = jnp.take(ra_mean.value, d, axis=0)
             var = jnp.take(ra_var.value, d, axis=0)
@@ -111,6 +122,40 @@ class DomainSpecificBatchNorm(nn.Module):
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * jnp.take(scale, d, axis=0) + jnp.take(bias, d, axis=0)
+        return y.astype(self.dtype or x.dtype)
+
+    def _segment_bn(self, x, domain, scale, bias, ra_mean, ra_var, use_running_average):
+        xf = x.astype(jnp.float32)
+        b, h, w, c = xf.shape
+        onehot = jax.nn.one_hot(domain, self.num_domains, dtype=jnp.float32)  # (B, D)
+
+        if use_running_average:
+            mean_d, var_d = ra_mean.value, ra_var.value
+        else:
+            cnt = jnp.sum(onehot, axis=0) * (h * w)  # pixels per domain
+            safe_cnt = jnp.maximum(cnt, 1.0)
+            sum_x = jnp.einsum("bhwc,bd->dc", xf, onehot)
+            sum_x2 = jnp.einsum("bhwc,bd->dc", jnp.square(xf), onehot)
+            mean_d = sum_x / safe_cnt[:, None]
+            var_d = jnp.maximum(sum_x2 / safe_cnt[:, None] - jnp.square(mean_d), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var_d * (safe_cnt / jnp.maximum(safe_cnt - 1.0, 1.0))[:, None]
+                present = (cnt > 0)[:, None]
+                ra_mean.value = jnp.where(
+                    present, (1.0 - m) * ra_mean.value + m * mean_d, ra_mean.value
+                )
+                ra_var.value = jnp.where(
+                    present, (1.0 - m) * ra_var.value + m * unbiased, ra_var.value
+                )
+
+        # per-sample gather of this sample's domain stats/affine
+        mean_b = onehot @ mean_d  # (B, C)
+        var_b = onehot @ var_d
+        scale_b = onehot @ scale
+        bias_b = onehot @ bias
+        y = (xf - mean_b[:, None, None, :]) * jax.lax.rsqrt(var_b[:, None, None, :] + self.eps)
+        y = y * scale_b[:, None, None, :] + bias_b[:, None, None, :]
         return y.astype(self.dtype or x.dtype)
 
 

@@ -140,20 +140,44 @@ def make_train_step(
             rec_samples = []
             if cfg.rec:
                 rec_stats = stats["rec_decoder"]
-                left = 0
-                for train_idx, bs in enumerate(bsl):
-                    right = left + bs
+                if cfg.fused_dsbn:
+                    # ONE decoder pass over the whole batch with per-sample
+                    # domain labels (segment-stat DSBN): identical numerics
+                    # to the per-sub-batch loop, but the convs see the full
+                    # batch instead of 2-10-image slivers.
+                    import numpy as _np
+
+                    domains = jnp.asarray(
+                        _np.repeat(_np.arange(len(bsl)), bsl), jnp.int32
+                    )
                     rec_out, rec_stats = _apply_with_stats(
                         models["rec_decoder"], params["rec_decoder"], rec_stats,
-                        feats_f[-1][left:right], train=True,
-                        domain=jnp.int32(train_idx),
+                        feats_f[-1], train=True, domain=domains,
                     )
-                    rec_soft = jnp.tanh(rec_out.astype(jnp.float32))
-                    rec_samples.append(rec_soft[0:1])
-                    loss_rec = mse_loss(rec_soft, img[left:right])
-                    loss = loss + lambda_rec * loss_rec
-                    avg_rec = avg_rec + loss_rec
-                    left = right
+                    rec_soft_all = jnp.tanh(rec_out.astype(jnp.float32))
+                    left = 0
+                    for train_idx, bs in enumerate(bsl):
+                        right = left + bs
+                        rec_samples.append(rec_soft_all[left : left + 1])
+                        loss_rec = mse_loss(rec_soft_all[left:right], img[left:right])
+                        loss = loss + lambda_rec * loss_rec
+                        avg_rec = avg_rec + loss_rec
+                        left = right
+                else:
+                    left = 0
+                    for train_idx, bs in enumerate(bsl):
+                        right = left + bs
+                        rec_out, rec_stats = _apply_with_stats(
+                            models["rec_decoder"], params["rec_decoder"], rec_stats,
+                            feats_f[-1][left:right], train=True,
+                            domain=jnp.int32(train_idx),
+                        )
+                        rec_soft = jnp.tanh(rec_out.astype(jnp.float32))
+                        rec_samples.append(rec_soft[0:1])
+                        loss_rec = mse_loss(rec_soft, img[left:right])
+                        loss = loss + lambda_rec * loss_rec
+                        avg_rec = avg_rec + loss_rec
+                        left = right
                 stats = dict(stats)
                 stats["rec_decoder"] = rec_stats
             metrics.update(
