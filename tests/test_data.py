@@ -107,6 +107,51 @@ def test_loader_drop_last_guard(data_root):
         MultiDomainIterator([DataLoader(ds, batch_size=100)])
 
 
+def test_np_random_scale_crop_distribution():
+    from ramdsir_tpu.data.transforms import np_random_scale_crop
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    mask = rng.choice([0, 128, 255], (48, 48)).astype(np.uint8)
+    for _ in range(20):
+        i2, m2 = np_random_scale_crop(img, mask, 32, rng)
+        assert i2.shape == (32, 32, 3) and m2.shape == (32, 32)
+        assert set(np.unique(m2)) <= {0, 128, 255}  # nearest keeps labels
+
+
+def test_decode_cache_hits(data_root):
+    base = os.path.join(data_root, "fundus")
+    ds = FundusMultiDataset(
+        base, [0], is_freq=True, test_domain_idx=3, donor_size=32,
+        resize_to=32, rng=np.random.default_rng(0),
+    )
+    a = ds[0]
+    b = ds[0]
+    np.testing.assert_array_equal(a["img"], b["img"])  # deterministic w/o aug
+    assert len(ds._cache._store) > 0
+
+
+def test_fused_loader_semantics(data_root):
+    from ramdsir_tpu.data.loaders import FusedMultiDomainLoader
+
+    base = os.path.join(data_root, "fundus")
+    datasets = [
+        FundusMultiDataset(base, [d], is_freq=True, test_domain_idx=3,
+                           donor_size=32, resize_to=32, rng=np.random.default_rng(d))
+        for d in (0, 1, 2)
+    ]
+    loader = FusedMultiDomainLoader(datasets, [2, 4, 6], ("img", "donor", "mask"), seed=0)
+    assert len(loader) == 12 // 2
+    steps = list(loader)
+    assert len(steps) == len(loader)
+    for batch in steps:
+        assert batch["img"].shape == (12, 32, 32, 3)
+        assert batch["img"].dtype == np.uint8
+        assert batch["mask"].shape == (12, 32, 32, 2)
+    with pytest.raises(ValueError):
+        FusedMultiDomainLoader(datasets, [100, 4, 6], ("img",))
+
+
 def test_nifti_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     for dtype in [np.float32, np.int16, np.uint8]:
