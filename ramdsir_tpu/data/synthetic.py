@@ -79,11 +79,14 @@ def make_prostate_tree(
         os.makedirs(img_dir, exist_ok=True)
         os.makedirs(mask_dir, exist_ok=True)
         for i in range(per_domain):
-            img = rng.uniform(-1, 1, (size, size, 3)).astype(np.float32)
+            img = rng.uniform(-1, 0.2, (size, size, 3)).astype(np.float32)
             yy, xx = np.mgrid[:size, :size]
             cy, cx = rng.integers(size // 3, 2 * size // 3, 2)
             r = size // rng.integers(4, 7)
             mask = (((yy - cy) ** 2 + (xx - cx) ** 2) < r * r).astype(np.int64)
+            # learnable signal: the foreground region is brighter
+            img[mask > 0] += 0.8
+            img = np.clip(img, -1, 1)
             np.save(os.path.join(img_dir, f"{dom}_{i:03d}.npy"), img)
             np.save(os.path.join(mask_dir, f"{dom}_{i:03d}.npy"), mask)
     return base
