@@ -57,6 +57,7 @@ def main(argv=None):
         predict, state, a.data_dir, a.datasetTest,
         batch_size=a.batch_size, image_size=a.image_size,
         with_distances=True, dataset_name=a.dataset,
+        save_dir=output_path if a.save_result else None,
     )
     print("\n==>val_cup_dice : %.2f" % (100 * res.cup_dice))
     print("\n==>val_disc_dice : %.2f" % (100 * res.disc_dice))

@@ -51,6 +51,7 @@ def main(argv=None):
     res = eval_prostate_volumes(
         predict, state, a.data_dir, a.datasetTest,
         batch_size=a.batch_size, with_distances=True, dataset_name=a.dataset,
+        save_dir=output_path if a.save_result else None,
     )
     print("\n==>val_dice : %.2f" % (100 * res.dice))
     print("\n==>average_hd : %.2f" % res.hd)

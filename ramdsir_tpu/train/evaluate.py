@@ -58,6 +58,7 @@ def eval_fundus(
     with_distances: bool = False,
     dataset_name: str = "fundus",
     num: Optional[int] = None,
+    save_dir: Optional[str] = None,
 ) -> FundusEvalResult:
     transform = Compose([Resize((image_size, image_size))])
     testset = FundusDataset(
@@ -84,6 +85,14 @@ def eval_fundus(
             pred_full = bilinear_resize_chw(pred_chw, th, tw)
             pred_post = postprocessing(pred_full, dataset=dataset_name, threshold=0.75)
             tgt_chw = target.transpose(2, 0, 1)
+            if save_dir:  # contour overlays (test_fundus_slice.py:145-151)
+                from ramdsir_tpu.ops.resize import bilinear_resize_chw as _rs
+                from ramdsir_tpu.utils.viz import save_per_img
+
+                img_full = _rs(
+                    np.asarray(batch["img"][i], np.float32).transpose(2, 0, 1), th, tw
+                ).transpose(1, 2, 0)
+                save_per_img(img_full, save_dir, batch["id"][i], pred_post, tgt_chw)
             cup, disc = dice_coeff_2label(pred_post, tgt_chw)
             res.cup_dice += cup
             res.disc_dice += disc
@@ -152,6 +161,7 @@ def eval_prostate_volumes(
     batch_size: int = 8,
     with_distances: bool = False,
     dataset_name: str = "prostate",
+    save_dir: Optional[str] = None,
 ) -> ProstateEvalResult:
     domain = PROSTATE_VOLUME_DOMAINS[test_domain_idx]
     vol_dir = os.path.join(data_dir, dataset_name, domain)
@@ -169,6 +179,16 @@ def eval_prostate_volumes(
         pred_y = predict_volume(predict, state, image.astype(np.float32), mask, batch_size)
         processed = connectivity_region_analysis(pred_y)
 
+        if save_dir:  # slice overlays (test_prostate_volume.py:129-141)
+            from ramdsir_tpu.utils.viz import save_per_img, untransform_prostate
+
+            for z in range(image.shape[0]):
+                if mask[z].sum() == 0:  # skip empty-GT slices like the ref
+                    continue
+                img_u8 = untransform_prostate(image[z])
+                save_per_img(
+                    img_u8, save_dir, f"{name.split('.')[0]}_{z}", processed[z], mask[z]
+                )
         d = dice_binary(processed.astype(bool), mask.astype(bool))
         case = {"id": name, "dice": d}
         res.dice += d

@@ -1,0 +1,87 @@
+"""Eval-protocol unit tests with a MOCK predictor (no model, no compiles):
+3-slice window logic, floor-batch leftover dropping, empty-GT zeroing,
+resize-back + threshold + postprocess wiring, overlays."""
+import os
+
+import numpy as np
+import pytest
+
+from ramdsir_tpu.data.nifti import write_nifti
+from ramdsir_tpu.data.synthetic import make_fundus_tree
+from ramdsir_tpu.train.evaluate import (
+    eval_fundus,
+    eval_prostate_volumes,
+    predict_volume,
+)
+
+
+def test_predict_volume_window_and_quirks():
+    depth, h, w = 11, 8, 8
+    image = np.zeros((depth, h, w), np.float32)
+    for z in range(depth):
+        image[z] = z  # slice index encoded in intensity
+    mask = np.ones((depth, h, w), np.uint8)
+    mask[4] = 0  # empty-GT slice -> prediction zeroed
+
+    seen_centers = []
+
+    def predict(state, vol):
+        # vol: (B, H, W, 3); centre channel holds the slice index
+        seen_centers.extend([int(v[0, 0, 1]) for v in vol])
+        b = vol.shape[0]
+        out = np.zeros((b, h, w, 2), np.float32)
+        out[..., 1] = 1.0  # predict foreground everywhere
+        return out
+
+    pred = predict_volume(predict, None, image, mask, batch_size=4)
+    # frames 1..9; floor(11/4)=2 batches of 4 -> frames 1..8 only (9 dropped)
+    assert seen_centers[:8] == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert pred[4].sum() == 0  # empty-GT zeroing
+    assert pred[1].sum() == h * w and pred[8].sum() == h * w
+    assert pred[9].sum() == 0 and pred[10].sum() == 0  # dropped + borders
+
+
+def test_eval_prostate_volumes_with_mock(tmp_path):
+    root = str(tmp_path)
+    vol_dir = os.path.join(root, "prostate", "UCL")
+    os.makedirs(vol_dir)
+    depth, s = 10, 16
+    image = np.random.default_rng(0).uniform(0, 100, (depth, s, s)).astype(np.float32)
+    mask = np.zeros((depth, s, s), np.uint8)
+    mask[3:7, 4:12, 4:12] = 2  # label 2 -> remapped to 1
+    write_nifti(os.path.join(vol_dir, "CaseX.nii.gz"), image)
+    write_nifti(os.path.join(vol_dir, "CaseX_segmentation.nii.gz"), mask)
+
+    def predict(state, vol):
+        b = vol.shape[0]
+        out = np.zeros((b, s, s, 2), np.float32)
+        out[:, 4:12, 4:12, 1] = 1.0  # match the GT box
+        out[..., 0] = 1.0 - out[..., 1]
+        return out
+
+    res = eval_prostate_volumes(predict, None, root, test_domain_idx=3,
+                                batch_size=4, with_distances=True,
+                                save_dir=os.path.join(root, "viz"))
+    assert res.num == 1
+    assert res.dice == 1.0  # perfect on the scored slices
+    assert res.hd == 0.0 and res.asd == 0.0
+    assert len(os.listdir(os.path.join(root, "viz"))) == 4  # non-empty GT slices
+
+
+def test_eval_fundus_with_mock(tmp_path):
+    root = str(tmp_path)
+    make_fundus_tree(root, per_domain_train=2, per_domain_test=3, size=40, seed=1)
+
+    def predict(state, imgs):
+        b = imgs.shape[0]
+        out = np.zeros((b, 32, 32, 2), np.float32)
+        out[:, 8:24, 8:24, :] = 1.0
+        return out
+
+    res = eval_fundus(predict, None, root, test_domain_idx=0, batch_size=2,
+                      image_size=32, with_distances=True,
+                      save_dir=os.path.join(root, "viz"))
+    assert res.num == 3
+    assert 0.0 <= res.cup_dice <= 1.0
+    assert np.isfinite(res.hd_oc)
+    assert len(os.listdir(os.path.join(root, "viz"))) == 3
