@@ -23,7 +23,7 @@ from ramdsir_tpu.config import PROSTATE_VOLUME_DOMAINS
 from ramdsir_tpu.data.fundus import FundusDataset
 from ramdsir_tpu.data.loaders import DataLoader
 from ramdsir_tpu.data.nifti import read_nifti
-from ramdsir_tpu.data.transforms import Compose, Normalize, Resize
+from ramdsir_tpu.data.transforms import Compose, Resize
 from ramdsir_tpu.ops.metrics import asd as asd_metric
 from ramdsir_tpu.ops.metrics import dice_binary, dice_coeff_2label
 from ramdsir_tpu.ops.metrics import hd95 as hd95_metric
@@ -86,10 +86,9 @@ def eval_fundus(
             pred_post = postprocessing(pred_full, dataset=dataset_name, threshold=0.75)
             tgt_chw = target.transpose(2, 0, 1)
             if save_dir:  # contour overlays (test_fundus_slice.py:145-151)
-                from ramdsir_tpu.ops.resize import bilinear_resize_chw as _rs
                 from ramdsir_tpu.utils.viz import save_per_img
 
-                img_full = _rs(
+                img_full = bilinear_resize_chw(
                     np.asarray(batch["img"][i], np.float32).transpose(2, 0, 1), th, tw
                 ).transpose(1, 2, 0)
                 save_per_img(img_full, save_dir, batch["id"][i], pred_post, tgt_chw)

@@ -13,12 +13,11 @@ ramdsir_tpu.parallel.mesh.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
-import optax
+import numpy as np
 
 from ramdsir_tpu.config import CONSISTENCY_WEIGHT, POLY_POWER, TrainConfig
 from ramdsir_tpu.ops.losses import (
@@ -145,11 +144,7 @@ def make_train_step(
                     # domain labels (segment-stat DSBN): identical numerics
                     # to the per-sub-batch loop, but the convs see the full
                     # batch instead of 2-10-image slivers.
-                    import numpy as _np
-
-                    domains = jnp.asarray(
-                        _np.repeat(_np.arange(len(bsl)), bsl), jnp.int32
-                    )
+                    domains = jnp.asarray(np.repeat(np.arange(len(bsl)), bsl), jnp.int32)
                     rec_out, rec_stats = _apply_with_stats(
                         models["rec_decoder"], params["rec_decoder"], rec_stats,
                         feats_f[-1], train=True, domain=domains,

@@ -173,3 +173,18 @@ def test_synthetic_volume_readable(data_root):
     seg = read_nifti(os.path.join(vol_dir, files[0].replace(".nii.gz", "_segmentation.nii.gz")))
     assert img.shape == seg.shape == (10, 48, 48)
     assert seg.max() == 1
+
+
+def test_out_domain_donor_exclusion(data_root):
+    base = os.path.join(data_root, "fundus")
+    ds = FundusMultiDataset(
+        base, [1], is_freq=True, is_out_domain=True, test_domain_idx=3,
+        donor_size=32, resize_to=32, rng=np.random.default_rng(0),
+    )
+    # donor pool = train domains minus test domain minus current domain
+    pool = [d for d in ds.train_domains if d != "Domain2"]
+    assert "Domain4" not in ds.train_domains  # held-out excluded
+    for _ in range(10):
+        # _sample_donor only draws from the non-current source domains
+        assert set(pool) == {"Domain1", "Domain3"}
+        ds._sample_donor("Domain2")
