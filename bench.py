@@ -22,8 +22,8 @@ import time
 import numpy as np
 
 REF_2080TI_IMGS_PER_SEC = 80.0
-WARMUP_STEPS = 3
-TIMED_STEPS = 20
+WARMUP_STEPS = 5
+TIMED_STEPS = 50
 
 
 def main() -> None:

@@ -42,8 +42,8 @@ def _mix_kernel(ratio_ref, re_ref, im_ref, amp_t_ref, mask_ref, out_re_ref, out_
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mix_planes(re, im, amp_t, ratio, mask, interpret=False):
     n, h, wh = re.shape
-    plane = pl.BlockSpec((1, h, wh), lambda i: (i, 0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    mask_spec = pl.BlockSpec((h, wh), lambda i: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    plane = pl.BlockSpec((1, h, wh), lambda i: (i, 0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    mask_spec = pl.BlockSpec((h, wh), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n, h, wh), jnp.float32)
     return pl.pallas_call(
         _mix_kernel,
