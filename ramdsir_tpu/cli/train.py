@@ -33,7 +33,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--rec", action="store_true")
     p.add_argument("--is_out_domain", action="store_true")
     p.add_argument("--consistency", action="store_true")
-    p.add_argument("--consistency_type", type=str, default="mse")
+    p.add_argument("--consistency_type", type=str, default="mse", choices=["mse", "kd"])
     p.add_argument("--save_path", type=str, required=True)
     p.add_argument("--norm", type=str, default="bn")
     p.add_argument("--activation", type=str, default="relu")

@@ -59,6 +59,9 @@ def make_train_step(
     (train.py:35-45); slices are static so the DSIR per-domain loop unrolls.
     """
     is_fundus = cfg.dataset == "fundus"
+    if cfg.consistency and cfg.consistency_type not in ("mse", "kd"):
+        # reference train.py:196-201 asserts on unknown types
+        raise ValueError(f"unknown consistency_type {cfg.consistency_type!r} (use 'mse' or 'kd')")
     bsl = batch_size_list or cfg.batch_size_list
     opt = adam_optimizer()
     lambda_rec = cfg.lambda_rec
