@@ -35,7 +35,9 @@ class BatchNorm(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, use_running_average: bool) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, *, use_running_average: bool, n_valid: Optional[int] = None
+    ) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         ra_mean = self.variable(
@@ -49,12 +51,17 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
+            # Batch padded for mesh divisibility: statistics come from the
+            # REAL rows only (static slice), so padded-batch numerics equal
+            # the unpadded batch exactly.  n_valid is a Python int -> no
+            # dynamic shapes; XLA still reduces globally across shards.
+            xs = xf[:n_valid] if (n_valid is not None and n_valid < x.shape[0]) else xf
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            mean = jnp.mean(xs, axis=axes)
+            mean2 = jnp.mean(jnp.square(xs), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = x.size / self.features
+                n = xs.size / self.features
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 m = self.momentum
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
@@ -82,7 +89,12 @@ class DomainSpecificBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, domain: jax.Array, *, use_running_average: bool
+        self,
+        x: jax.Array,
+        domain: jax.Array,
+        *,
+        use_running_average: bool,
+        n_valid: Optional[int] = None,
     ) -> jax.Array:
         domain = jnp.asarray(domain, jnp.int32)
         shape = (self.num_domains, self.features)
@@ -98,7 +110,7 @@ class DomainSpecificBatchNorm(nn.Module):
             # convs around this norm run once on the full batch (MXU-friendly
             # batching instead of 3-7-image slivers).
             return self._segment_bn(
-                x, domain, scale, bias, ra_mean, ra_var, use_running_average
+                x, domain, scale, bias, ra_mean, ra_var, use_running_average, n_valid
             )
 
         d = domain.reshape(())
@@ -107,12 +119,13 @@ class DomainSpecificBatchNorm(nn.Module):
             var = jnp.take(ra_var.value, d, axis=0)
         else:
             xf = x.astype(jnp.float32)
+            xs = xf[:n_valid] if (n_valid is not None and n_valid < x.shape[0]) else xf
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            mean = jnp.mean(xs, axis=axes)
+            mean2 = jnp.mean(jnp.square(xs), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = x.size / self.features
+                n = xs.size / self.features
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 m = self.momentum
                 new_mean = (1.0 - m) * jnp.take(ra_mean.value, d, axis=0) + m * mean
@@ -124,7 +137,9 @@ class DomainSpecificBatchNorm(nn.Module):
         y = y * jnp.take(scale, d, axis=0) + jnp.take(bias, d, axis=0)
         return y.astype(self.dtype or x.dtype)
 
-    def _segment_bn(self, x, domain, scale, bias, ra_mean, ra_var, use_running_average):
+    def _segment_bn(
+        self, x, domain, scale, bias, ra_mean, ra_var, use_running_average, n_valid=None
+    ):
         xf = x.astype(jnp.float32)
         b, h, w, c = xf.shape
         onehot = jax.nn.one_hot(domain, self.num_domains, dtype=jnp.float32)  # (B, D)
@@ -132,10 +147,14 @@ class DomainSpecificBatchNorm(nn.Module):
         if use_running_average:
             mean_d, var_d = ra_mean.value, ra_var.value
         else:
-            cnt = jnp.sum(onehot, axis=0) * (h * w)  # pixels per domain
+            # stats from REAL rows only (see BatchNorm): padded tail rows are
+            # statically sliced out; normalization still covers all rows.
+            xv = xf[:n_valid] if (n_valid is not None and n_valid < b) else xf
+            ov = onehot[: xv.shape[0]]
+            cnt = jnp.sum(ov, axis=0) * (h * w)  # pixels per domain
             safe_cnt = jnp.maximum(cnt, 1.0)
-            sum_x = jnp.einsum("bhwc,bd->dc", xf, onehot)
-            sum_x2 = jnp.einsum("bhwc,bd->dc", jnp.square(xf), onehot)
+            sum_x = jnp.einsum("bhwc,bd->dc", xv, ov)
+            sum_x2 = jnp.einsum("bhwc,bd->dc", jnp.square(xv), ov)
             mean_d = sum_x / safe_cnt[:, None]
             var_d = jnp.maximum(sum_x2 / safe_cnt[:, None] - jnp.square(mean_d), 0.0)
             if not self.is_initializing():
@@ -191,9 +210,12 @@ class Norm(nn.Module):
         *,
         train: bool,
         domain: Optional[jax.Array] = None,
+        n_valid: Optional[int] = None,
     ) -> jax.Array:
         if self.norm == "bn":
-            return BatchNorm(self.features)(x, use_running_average=not train)
+            return BatchNorm(self.features)(
+                x, use_running_average=not train, n_valid=n_valid
+            )
         if self.norm == "gn":
             return nn.GroupNorm(num_groups=1, epsilon=1e-5)(x)
         if self.norm == "in":
@@ -202,6 +224,6 @@ class Norm(nn.Module):
             if domain is None:
                 raise ValueError("dsbn requires a domain index")
             return DomainSpecificBatchNorm(self.features, self.num_domains)(
-                x, domain, use_running_average=not train
+                x, domain, use_running_average=not train, n_valid=n_valid
             )
         raise ValueError(f"Normalization type {self.norm} is not supported")

@@ -101,20 +101,22 @@ class ConvD(_Base):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, *, train: bool = True, n_valid: Optional[int] = None
+    ) -> jax.Array:
         act = _act(self.activation)
         if not self.first:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # layer 1: conv, norm (no activation — reference unet.py:58-60)
         x = self.conv(x, self.planes, 3, "conv1", self.activation)
-        x = Norm(self.planes, self.norm, name="bn1")(x, train=train)
+        x = Norm(self.planes, self.norm, name="bn1")(x, train=train, n_valid=n_valid)
         # layer 2: conv, norm, act
         y = self.conv(x, self.planes, 3, "conv2", self.activation)
-        y = Norm(self.planes, self.norm, name="bn2")(y, train=train)
+        y = Norm(self.planes, self.norm, name="bn2")(y, train=train, n_valid=n_valid)
         y = act(y)
         # layer 3: conv, norm, act
         z = self.conv(y, self.planes, 3, "conv3", self.activation)
-        z = Norm(self.planes, self.norm, name="bn3")(z, train=train)
+        z = Norm(self.planes, self.norm, name="bn3")(z, train=train, n_valid=n_valid)
         z = act(z)
         return z
 
@@ -126,20 +128,27 @@ class ConvU(_Base):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x: jax.Array, prev: jax.Array, *, train: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        prev: jax.Array,
+        *,
+        train: bool = True,
+        n_valid: Optional[int] = None,
+    ) -> jax.Array:
         act = _act(self.activation)
         if not self.first:
             x = self.conv(x, self.planes, 3, "conv1", self.activation)
-            x = Norm(self.planes, self.norm, name="bn1")(x, train=train)
+            x = Norm(self.planes, self.norm, name="bn1")(x, train=train, n_valid=n_valid)
             x = act(x)
         y = upsample2x(x)
         y = self.conv(y, self.planes // 2, 1, "conv2", self.activation)
-        y = Norm(self.planes // 2, self.norm, name="bn2")(y, train=train)
+        y = Norm(self.planes // 2, self.norm, name="bn2")(y, train=train, n_valid=n_valid)
         y = act(y)
         # channel-concat: skip first (reference torch.cat([prev, y], 1))
         y = jnp.concatenate([prev, y], axis=-1)
         y = self.conv(y, self.planes, 3, "conv3", self.activation)
-        y = Norm(self.planes, self.norm, name="bn3")(y, train=train)
+        y = Norm(self.planes, self.norm, name="bn3")(y, train=train, n_valid=n_valid)
         y = act(y)
         return y
 
@@ -154,19 +163,30 @@ class ConvURec(_Base):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, domain: Optional[jax.Array] = None, train: bool = True
+        self,
+        x: jax.Array,
+        *,
+        domain: Optional[jax.Array] = None,
+        train: bool = True,
+        n_valid: Optional[int] = None,
     ) -> jax.Array:
         act = _act(self.activation)
         half = self.planes // 2
         x = self.conv(x, half, 3, "conv1", self.activation)
-        x = Norm(half, self.norm, self.num_domains, name="bn1")(x, train=train, domain=domain)
+        x = Norm(half, self.norm, self.num_domains, name="bn1")(
+            x, train=train, domain=domain, n_valid=n_valid
+        )
         x = act(x)
         y = upsample2x(x)
         y = self.conv(y, half, 1, "conv2", self.activation)
-        y = Norm(half, self.norm, self.num_domains, name="bn2")(y, train=train, domain=domain)
+        y = Norm(half, self.norm, self.num_domains, name="bn2")(
+            y, train=train, domain=domain, n_valid=n_valid
+        )
         y = act(y)
         y = self.conv(y, half, 3, "conv3", self.activation)
-        y = Norm(half, self.norm, self.num_domains, name="bn3")(y, train=train, domain=domain)
+        y = Norm(half, self.norm, self.num_domains, name="bn3")(
+            y, train=train, domain=domain, n_valid=n_valid
+        )
         y = act(y)
         return y
 
@@ -180,13 +200,16 @@ class Encoder(_Base):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = True) -> List[jax.Array]:
+    def __call__(
+        self, x: jax.Array, *, train: bool = True, n_valid: Optional[int] = None
+    ) -> List[jax.Array]:
         n = self.n
-        x1 = ConvD(n, self.norm, first=True, activation=self.activation, name="convd1")(x, train=train)
-        x2 = ConvD(2 * n, self.norm, activation=self.activation, name="convd2")(x1, train=train)
-        x3 = ConvD(4 * n, self.norm, activation=self.activation, name="convd3")(x2, train=train)
-        x4 = ConvD(8 * n, self.norm, activation=self.activation, name="convd4")(x3, train=train)
-        x5 = ConvD(16 * n, self.norm, activation=self.activation, name="convd5")(x4, train=train)
+        kw = dict(train=train, n_valid=n_valid)
+        x1 = ConvD(n, self.norm, first=True, activation=self.activation, name="convd1")(x, **kw)
+        x2 = ConvD(2 * n, self.norm, activation=self.activation, name="convd2")(x1, **kw)
+        x3 = ConvD(4 * n, self.norm, activation=self.activation, name="convd3")(x2, **kw)
+        x4 = ConvD(8 * n, self.norm, activation=self.activation, name="convd4")(x3, **kw)
+        x5 = ConvD(16 * n, self.norm, activation=self.activation, name="convd5")(x4, **kw)
         return [x1, x2, x3, x4, x5]
 
 
@@ -199,14 +222,21 @@ class Decoder(_Base):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array], *, train: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        feats: Sequence[jax.Array],
+        *,
+        train: bool = True,
+        n_valid: Optional[int] = None,
+    ) -> jax.Array:
         n = self.n
+        kw = dict(train=train, n_valid=n_valid)
         y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation, name="convu4")(
-            feats[-1], feats[-2], train=train
+            feats[-1], feats[-2], **kw
         )
-        y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], train=train)
-        y2 = ConvU(4 * n, self.norm, activation=self.activation, name="convu2")(y3, feats[-4], train=train)
-        y1 = ConvU(2 * n, self.norm, activation=self.activation, name="convu1")(y2, feats[-5], train=train)
+        y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], **kw)
+        y2 = ConvU(4 * n, self.norm, activation=self.activation, name="convu2")(y3, feats[-4], **kw)
+        y1 = ConvU(2 * n, self.norm, activation=self.activation, name="convu1")(y2, feats[-5], **kw)
         return self.conv(y1, self.num_classes, 3, "out1", self.activation)
 
 
@@ -221,21 +251,19 @@ class RecDecoder(_Base):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, domain: Optional[jax.Array] = None, train: bool = True
+        self,
+        x: jax.Array,
+        *,
+        domain: Optional[jax.Array] = None,
+        train: bool = True,
+        n_valid: Optional[int] = None,
     ) -> jax.Array:
         n = self.n
-        y4 = ConvURec(16 * n, self.norm, self.activation, self.num_domains, name="convu4")(
-            x, domain=domain, train=train
-        )
-        y3 = ConvURec(8 * n, self.norm, self.activation, self.num_domains, name="convu3")(
-            y4, domain=domain, train=train
-        )
-        y2 = ConvURec(4 * n, self.norm, self.activation, self.num_domains, name="convu2")(
-            y3, domain=domain, train=train
-        )
-        y1 = ConvURec(2 * n, self.norm, self.activation, self.num_domains, name="convu1")(
-            y2, domain=domain, train=train
-        )
+        kw = dict(domain=domain, train=train, n_valid=n_valid)
+        y4 = ConvURec(16 * n, self.norm, self.activation, self.num_domains, name="convu4")(x, **kw)
+        y3 = ConvURec(8 * n, self.norm, self.activation, self.num_domains, name="convu3")(y4, **kw)
+        y2 = ConvURec(4 * n, self.norm, self.activation, self.num_domains, name="convu2")(y3, **kw)
+        y1 = ConvURec(2 * n, self.norm, self.activation, self.num_domains, name="convu1")(y2, **kw)
         return self.conv(y1, self.num_classes, 3, "out1", self.activation)
 
 

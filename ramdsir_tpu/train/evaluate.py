@@ -74,10 +74,17 @@ def eval_fundus(
     for batch in loader:
         imgs = batch["img"]
         n = imgs.shape[0]
-        if n < batch_size:  # pad the tail batch: one compiled shape only
-            pad = np.repeat(imgs[-1:], batch_size - n, axis=0)
+        if n < batch_size:
+            # Pad the tail batch to keep one compiled shape, and tell the
+            # predict fn how many rows are REAL: under BN adaptation the
+            # batch statistics then cover only the real rows — matching the
+            # reference, which runs the smaller final batch as-is
+            # (test_fundus_slice.py:100-110).  One extra compile per tail size.
+            pad = np.zeros((batch_size - n,) + imgs.shape[1:], imgs.dtype)
             imgs = np.concatenate([imgs, pad], axis=0)
-        probs = np.asarray(predict(state, imgs))[:n]  # (B, S, S, 2)
+            probs = np.asarray(predict(state, imgs, n_valid=n))[:n]
+        else:
+            probs = np.asarray(predict(state, imgs))[:n]  # (B, S, S, 2)
         for i in range(probs.shape[0]):
             target = batch["mask_orig"][i]  # (H, W, 2) original size
             th, tw = target.shape[0], target.shape[1]

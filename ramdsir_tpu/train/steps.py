@@ -13,6 +13,7 @@ ramdsir_tpu.parallel.mesh.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -49,6 +50,8 @@ def make_train_step(
     models: Dict[str, Any],
     total_iters: int,
     batch_size_list: Optional[List[int]] = None,
+    pad_to_multiple: Optional[int] = None,
+    device_data: Optional[Dict[str, jax.Array]] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -57,12 +60,33 @@ def make_train_step(
       prostate: img/donor (B,H,W,3) float32 in [-1,1], mask (B,H,W) int32
     The per-domain sub-batch boundaries come from `batch_size_list`
     (train.py:35-45); slices are static so the DSIR per-domain loop unrolls.
+
+    pad_to_multiple: device count of the data-parallel mesh.  When the
+    global batch isn't divisible by it (prostate: 10 on 8 devices), fit()
+    zero-pads the batch to the next multiple; the step computes all BN
+    statistics over the REAL rows only (static `n_valid` slice into every
+    norm) and slices losses back to real rows, so padded numerics equal the
+    unpadded batch exactly while shapes stay mesh-divisible.
+
+    device_data: HBM-resident dataset arrays (data.device_pipeline).  The
+    step then accepts {img_idx, donor_idx} int32 batches and performs the
+    gather + random scale-crop + donor lookup on device — the host leaves
+    the hot path entirely.
     """
     is_fundus = cfg.dataset == "fundus"
     if cfg.consistency and cfg.consistency_type not in ("mse", "kd"):
         # reference train.py:196-201 asserts on unknown types
         raise ValueError(f"unknown consistency_type {cfg.consistency_type!r} (use 'mse' or 'kd')")
-    bsl = batch_size_list or cfg.batch_size_list
+    # Truncate to the actual number of source domains: fit() builds one
+    # sub-batch per domain_idx, while cfg.batch_size_list always has one
+    # entry per potential source domain (5 for prostate).  The reference
+    # loops range(len(domain_idx_list)) (train.py:263-276) and so handles
+    # e.g. prostate with --domain_idxs 0,1,2 fine; without this slice the
+    # DSIR domain loop would index past the real batch.
+    bsl = list(batch_size_list or cfg.batch_size_list)[: len(cfg.domain_idxs)]
+    b_real = sum(bsl)
+    pad = (-b_real) % pad_to_multiple if pad_to_multiple else 0
+    n_valid = b_real if pad else None  # None -> no slicing anywhere
     opt = adam_optimizer()
     lambda_rec = cfg.lambda_rec
     base_lr = float(cfg.lr)
@@ -80,20 +104,20 @@ def make_train_step(
         else:
             img = batch["img"] / 127.5 - 1.0 if is_fundus else batch["img"]
             img_freq = None
-        mask = batch["mask"]
+        mask = batch["mask"][:b_real]
 
         def forward_impl(params, stats, x):
             feats, enc_stats = _apply_with_stats(
                 models["encoder"], params["encoder"], stats["encoder"],
-                x.astype(compute_dtype), train=True,
+                x.astype(compute_dtype), train=True, n_valid=n_valid,
             )
             logits, seg_stats = _apply_with_stats(
                 models["seg_decoder"], params["seg_decoder"], stats["seg_decoder"],
-                feats, train=True,
+                feats, train=True, n_valid=n_valid,
             )
             new_stats = dict(stats)
             new_stats["encoder"], new_stats["seg_decoder"] = enc_stats, seg_stats
-            return feats, logits.astype(jnp.float32), new_stats
+            return feats, logits[:b_real].astype(jnp.float32), new_stats
 
         if cfg.remat:
             # Recompute the forward in the backward pass: activation memory
@@ -147,10 +171,15 @@ def make_train_step(
                     # domain labels (segment-stat DSBN): identical numerics
                     # to the per-sub-batch loop, but the convs see the full
                     # batch instead of 2-10-image slivers.
-                    domains = jnp.asarray(np.repeat(np.arange(len(bsl)), bsl), jnp.int32)
+                    # padded tail rows get domain 0; they're excluded from the
+                    # segment statistics by n_valid and from every loss slice
+                    domains = jnp.asarray(
+                        np.concatenate([np.repeat(np.arange(len(bsl)), bsl), np.zeros(pad, np.int64)]),
+                        jnp.int32,
+                    )
                     rec_out, rec_stats = _apply_with_stats(
                         models["rec_decoder"], params["rec_decoder"], rec_stats,
-                        feats_f[-1], train=True, domain=domains,
+                        feats_f[-1], train=True, domain=domains, n_valid=n_valid,
                     )
                     rec_soft_all = jnp.tanh(rec_out.astype(jnp.float32))
                     left = 0
@@ -202,8 +231,25 @@ def make_train_step(
 
     group_factor = {"encoder": 0.5 if cfg.rec else 1.0}
 
+    use_device_data = device_data is not None
+
     @jax.jit
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        data: Optional[Dict[str, jax.Array]] = None,
+    ):
+        # `data` (HBM-resident dataset arrays) is a runtime argument, not a
+        # closure capture: captured concrete arrays would be baked into the
+        # jaxpr as ~100 MB compile-time constants.
+        if use_device_data:
+            from ramdsir_tpu.data.device_pipeline import gather_and_augment
+
+            k_aug, key = jax.random.split(key)
+            batch = gather_and_augment(
+                data, batch["img_idx"], batch["donor_idx"], k_aug, cfg.image_size
+            )
         (_, (new_stats, metrics, viz)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, key
         )
@@ -242,20 +288,28 @@ def make_predict_fn(
     statistics; the mutated running stats are discarded (they never affect
     train-mode outputs, so this is prediction-equivalent to the reference's
     in-place module mutation).
+
+    n_valid (static): number of REAL rows when the batch is padded to keep
+    one compiled shape.  Under bn_adapt the batch statistics then come from
+    the real rows only, matching the reference, which runs the smaller tail
+    batch as-is (test_fundus_slice.py:100-110).  Each distinct n_valid costs
+    one extra compile (typically one per dataset: the tail size).
     """
     is_fundus = cfg.dataset == "fundus"
 
-    @jax.jit
-    def predict(state: TrainState, img: jax.Array) -> jax.Array:
+    @partial(jax.jit, static_argnames=("n_valid",))
+    def predict(
+        state: TrainState, img: jax.Array, n_valid: Optional[int] = None
+    ) -> jax.Array:
         x = img / 127.5 - 1.0 if is_fundus else img
         train_flag = bool(bn_adapt)
         feats, _ = _apply_with_stats(
             models["encoder"], state.params["encoder"], state.batch_stats["encoder"],
-            x, train=train_flag,
+            x, train=train_flag, n_valid=n_valid,
         )
         logits, _ = _apply_with_stats(
             models["seg_decoder"], state.params["seg_decoder"], state.batch_stats["seg_decoder"],
-            feats, train=train_flag,
+            feats, train=train_flag, n_valid=n_valid,
         )
         logits = logits.astype(jnp.float32)
         if is_fundus:

