@@ -73,9 +73,15 @@ class TrainConfig:
     remat: bool = False  # jax.checkpoint the dual forward (memory <-> FLOPs)
     fused_dsbn: bool = True  # one rec-decoder pass with per-sample domains
     prefetch: int = 2  # host->device pipeline depth
+    loader: str = "process"  # {process, thread} batch-assembly workers
+    num_workers: Optional[int] = None  # loader workers (None = auto)
+    # HBM-resident dataset: gather + scale-crop aug + donor lookup run inside
+    # the jitted step; host sends int32 indices only (fundus; ~92 MB u8)
+    device_data: bool = True
     log_interval: int = 1
     log_images_every: int = 100  # TB image grids (reference: 100); 0 disables
     checkpoint_resume: Optional[str] = None
+    trace_dir: Optional[str] = None  # jax.profiler trace of steps 2-12
 
     def resolve(self) -> "TrainConfig":
         cfg = dataclasses.replace(self)

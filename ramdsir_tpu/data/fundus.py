@@ -46,6 +46,14 @@ class _DecodeCache:
         self._store = {}
         self._lock = threading.Lock()
 
+    # picklable for spawn-based loader workers: ship the config, not the
+    # cache contents (each worker re-warms its own store) nor the lock.
+    def __getstate__(self):
+        return {"max_items": self.max_items}
+
+    def __setstate__(self, state):
+        self.__init__(state["max_items"])
+
     def get(self, key, build):
         with self._lock:
             if key in self._store:
@@ -145,8 +153,9 @@ class FundusMultiDataset:
     ):
         self.base_dir = base_dir
         self.domain_idx_list = list(domain_idx_list)
+        self.split = split
         self.transform = transform
-        self.np_transform = np_transform  # (img_u8, mask_u8) -> (img, mask)
+        self.np_transform = np_transform  # (img_u8, mask_u8, rng) -> (img, mask)
         self.resize_to = resize_to
         self._cache = _DecodeCache() if cache else None
         self.is_freq = is_freq
@@ -179,11 +188,11 @@ class FundusMultiDataset:
             )
         return self._donor_lists[domain_name]
 
-    def _sample_donor(self, cur_domain: str) -> np.ndarray:
+    def _sample_donor(self, cur_domain: str, rng: np.random.Generator) -> np.ndarray:
         pool = [d for d in self.train_domains if not (self.is_out_domain and d == cur_domain)]
-        donor_domain = pool[int(self.rng.integers(0, len(pool)))]
+        donor_domain = pool[int(rng.integers(0, len(pool)))]
         ids = self._donor_ids(donor_domain)
-        donor_id = ids[int(self.rng.integers(0, len(ids)))].split(" ")[0]
+        donor_id = ids[int(rng.integers(0, len(ids)))].split(" ")[0]
         # uint8 on the wire: 4x less host->device traffic; the jitted step
         # promotes to float on device.
         return _load_resized(
@@ -193,15 +202,41 @@ class FundusMultiDataset:
             "RGB",
         )
 
-    def __getitem__(self, index: int):
+    def get_item(self, index: int, rng: Optional[np.random.Generator] = None):
+        """Like __getitem__, with an explicit per-sample Generator.
+
+        Loader workers pass a counter-derived rng (seeded from
+        (seed, epoch, step, domain, row) — see FusedMultiDomainLoader), so
+        augmentation randomness is a pure function of the sample's position:
+        thread-safe AND reproducible regardless of worker scheduling.
+        numpy Generators are not thread-safe; sharing self.rng across
+        worker threads could repeat or interleave draws.
+        """
+        rng = self.rng if rng is None else rng
         entry = self.id_path[index].split(" ")
         cur_domain = entry[0].split("/")[0]
+        if self.split == "test":
+            # multi-domain test split (fundus.py:167-186): transformed
+            # img/mask plus the ORIGINAL-size multilabel mask and the id,
+            # exactly like the single-domain test dataset.
+            img = Image.open(os.path.join(self.base_dir, entry[0])).convert("RGB")
+            mask = Image.open(os.path.join(self.base_dir, entry[1])).convert("L")
+            orig_mask = fundus_multilabel(np.array(mask)).astype(np.uint8)
+            sample = {"img": img, "mask": mask}
+            if self.transform:
+                sample = self.transform(sample)
+            return {
+                "img": np.asarray(sample["img"], np.uint8),
+                "mask": np.asarray(sample["mask"], np.uint8),
+                "mask_orig": orig_mask,
+                "id": self.id_path[index],
+            }
         # cached decode (+ deterministic resize when resize_to is set); the
         # random transform suffix runs per item below
         img_np = _load_resized(self._cache, os.path.join(self.base_dir, entry[0]), self.resize_to, "RGB")
         mask_np = _load_resized(self._cache, os.path.join(self.base_dir, entry[1]), self.resize_to, "L")
         if self.np_transform is not None:  # GIL-friendly numpy/cv2 path
-            img_np, mask_np = self.np_transform(img_np, mask_np)
+            img_np, mask_np = self.np_transform(img_np, mask_np, rng)
         elif self.transform:
             sample = self.transform({"img": Image.fromarray(img_np), "mask": Image.fromarray(mask_np)})
             img_np = np.asarray(sample["img"], np.uint8)
@@ -213,5 +248,8 @@ class FundusMultiDataset:
             "domain": np.int32(self.domain_idx_list[0] if len(self.domain_idx_list) == 1 else FUNDUS_DOMAINS.index(cur_domain)),
         }
         if self.is_freq:
-            out["donor"] = self._sample_donor(cur_domain)
+            out["donor"] = self._sample_donor(cur_domain, rng)
         return out
+
+    def __getitem__(self, index: int):
+        return self.get_item(index)

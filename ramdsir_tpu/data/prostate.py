@@ -94,14 +94,16 @@ class ProstateMultiDataset:
             )
         return self._donor_lists[domain_name]
 
-    def _sample_donor(self, cur_domain: str) -> np.ndarray:
+    def _sample_donor(self, cur_domain: str, rng: np.random.Generator) -> np.ndarray:
         pool = [d for d in self.train_domains if not (self.is_out_domain and d == cur_domain)]
-        donor_domain = pool[int(self.rng.integers(0, len(pool)))]
+        donor_domain = pool[int(rng.integers(0, len(pool)))]
         names = self._donor_names(donor_domain)
-        name = names[int(self.rng.integers(0, len(names)))]
+        name = names[int(rng.integers(0, len(names)))]
         return np.load(os.path.join(self.base_dir, donor_domain, "image", name)).astype(np.float32)
 
-    def __getitem__(self, index: int):
+    def get_item(self, index: int, rng: Optional[np.random.Generator] = None):
+        """Explicit per-sample Generator variant (see FundusMultiDataset)."""
+        rng = self.rng if rng is None else rng
         rel = self.id_path[index]
         cur_domain = rel.split("/")[0]
         img = np.load(os.path.join(self.base_dir, rel)).astype(np.float32)
@@ -111,5 +113,8 @@ class ProstateMultiDataset:
             img, mask = sample["img"], sample["mask"]
         out = {"img": img, "mask": mask, "domain": np.int32(PROSTATE_DOMAINS.index(cur_domain))}
         if self.is_freq:
-            out["donor"] = self._sample_donor(cur_domain)
+            out["donor"] = self._sample_donor(cur_domain, rng)
         return out
+
+    def __getitem__(self, index: int):
+        return self.get_item(index)

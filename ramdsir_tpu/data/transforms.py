@@ -157,18 +157,39 @@ class Hflip:
 
 
 class RandomResize:
-    """Scale by U(0.5, 2.0) (transform.py:102-132 semantics)."""
+    """Aspect-preserving random rescale (transform.py:102-132, exact).
 
-    def __init__(self, scale_range=(0.5, 2.0), rng: Optional[np.random.Generator] = None):
+    The SHORT side (the reference's `origin_size` picks min(w, h) despite
+    the 'long' naming) — or `base_long_size` when given — defines the
+    target: an integer drawn uniformly from
+    [int(origin*scale_range[0]), int(origin*scale_range[1])] (inclusive);
+    the other side scales by the same ratio, truncated to int.
+    """
+
+    def __init__(
+        self,
+        base_long_size: Optional[int] = None,
+        scale_range=(0.75, 1.20),
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.base_long_size = base_long_size
         self.scale_range = scale_range
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, sample: Sample) -> Sample:
-        s = self.rng.uniform(*self.scale_range)
         img = sample["img"]
-        w, h = int(img.size[0] * s), int(img.size[1] * s)
-        out = _apply_imgs(sample, lambda im: im.resize((w, h), Image.BILINEAR))
-        out["mask"] = sample["mask"].resize((w, h), Image.NEAREST)
+        w, h = img.size
+        origin = self.base_long_size if self.base_long_size is not None else min(w, h)
+        lo, hi = int(origin * self.scale_range[0]), int(origin * self.scale_range[1])
+        target = int(self.rng.integers(lo, hi + 1))  # randint: inclusive
+        if w < h:
+            oh = target
+            ow = int(w * (oh / h))
+        else:
+            ow = target
+            oh = int(h * (ow / w))
+        out = _apply_imgs(sample, lambda im: im.resize((ow, oh), Image.BILINEAR))
+        out["mask"] = sample["mask"].resize((ow, oh), Image.NEAREST)
         return out
 
 
@@ -191,15 +212,20 @@ class ResizeRatio:
 
 
 class Rotate:
-    """Rotate by U(-20, 20) degrees (transform.py:207-220)."""
+    """Rotate by an integer degree in [-20, 20] (transform.py:207-220, exact).
+
+    The mask rotates with fillcolor=255: rotated-in corners decode to the
+    fundus background/ignore value (gray 255 -> class 0), not to gray 0,
+    which would decode to cup (class 2) and corrupt labels.
+    """
 
     def __init__(self, rng: Optional[np.random.Generator] = None):
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, sample: Sample) -> Sample:
-        angle = float(self.rng.uniform(-20, 20))
+        angle = int(self.rng.integers(-20, 21))  # randint(-20, 20) inclusive
         out = _apply_imgs(sample, lambda im: im.rotate(angle, Image.BILINEAR))
-        out["mask"] = sample["mask"].rotate(angle, Image.NEAREST)
+        out["mask"] = sample["mask"].rotate(angle, Image.NEAREST, fillcolor=255)
         return out
 
 
@@ -272,42 +298,66 @@ class CutOut:
 
 
 class GetPair:
-    """In/out-painting pretext pair (transform.py:303-317 semantics):
-    returns the sample with 'img_in' (inpaint-corrupted) and 'img_out'
-    (outpaint-corrupted) numpy copies added."""
+    """In/out-painting pretext pair (transform.py:303-317, exact parameters):
+    with probability `inpaint_rate` (default 0.8) the corrupted copy is
+    in-painted, otherwise out-painted; returned under 'img_aug' alongside
+    the untouched 'img'/'mask'."""
 
-    def __init__(self, rng: Optional[np.random.Generator] = None):
+    def __init__(self, inpaint_rate: float = 0.8, rng: Optional[np.random.Generator] = None):
+        self.inpaint_rate = inpaint_rate
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, sample: Sample) -> Sample:
-        img = np.array(sample["img"]).astype(np.float32)
+        img = np.array(sample["img"])
+        if self.rng.random() < self.inpaint_rate:
+            aug = image_in_painting(img, self.rng)
+        else:
+            aug = image_out_painting(img, self.rng)
         out = dict(sample)
-        out["img_in"] = inpaint_corrupt(img.copy(), self.rng)
-        out["img_out"] = outpaint_corrupt(img.copy(), self.rng)
+        out["img_aug"] = Image.fromarray(aug.astype(np.uint8))
         return out
 
 
-def inpaint_corrupt(img: np.ndarray, rng: np.random.Generator, n_holes: int = 5) -> np.ndarray:
-    """Zero random interior rectangles (transform.py:439-470 semantics)."""
-    h, w = img.shape[:2]
-    for _ in range(int(rng.integers(1, n_holes + 1))):
-        ch = int(rng.integers(h // 8, h // 4 + 1))
-        cw = int(rng.integers(w // 8, w // 4 + 1))
-        y = int(rng.integers(0, h - ch))
-        x = int(rng.integers(0, w - cw))
-        img[y : y + ch, x : x + cw] = 0.0
-    return img
+def image_in_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Up to 5 uniform-noise interior blocks (transform.py:439-454, exact):
+    each iteration continues with p=0.95; block side ~ randint(S//6, S//3)
+    inclusive, offset ~ randint(3, S-side-3) inclusive; the SAME (h, w)
+    noise plane (x255) fills every channel.  Takes/returns HWC uint8."""
+    out = np.array(img, copy=True)
+    rows, cols = out.shape[:2]
+    cnt = 5
+    while cnt > 0 and rng.random() < 0.95:
+        bx = int(rng.integers(rows // 6, rows // 3 + 1))
+        by = int(rng.integers(cols // 6, cols // 3 + 1))
+        x = int(rng.integers(3, rows - bx - 3 + 1))
+        y = int(rng.integers(3, cols - by - 3 + 1))
+        noise = (rng.random((bx, by)) * 255).astype(out.dtype)
+        out[x : x + bx, y : y + by] = noise[..., None] if out.ndim == 3 else noise
+        cnt -= 1
+    return out
 
 
-def outpaint_corrupt(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Keep a random central rectangle, zero the rest (transform.py:473-510)."""
-    h, w = img.shape[:2]
-    ch = int(rng.integers(2 * h // 4, 3 * h // 4 + 1))
-    cw = int(rng.integers(2 * w // 4, 3 * w // 4 + 1))
-    y = int(rng.integers(0, h - ch))
-    x = int(rng.integers(0, w - cw))
-    out = np.zeros_like(img)
-    out[y : y + ch, x : x + cw] = img[y : y + ch, x : x + cw]
+def image_out_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Replace everything by per-channel uniform noise, then restore 1 + up
+    to 4 original blocks (transform.py:490-520, exact): block side =
+    S - randint(3S//7, 4S//7) inclusive, offset ~ randint(3, S-side-3);
+    each extra restore continues with p=0.95.  Takes/returns HWC uint8."""
+    src = np.array(img, copy=True)
+    rows, cols = src.shape[:2]
+    out = (rng.random(src.shape) * 255).astype(src.dtype)
+
+    def restore():
+        bx = rows - int(rng.integers(3 * rows // 7, 4 * rows // 7 + 1))
+        by = cols - int(rng.integers(3 * cols // 7, 4 * cols // 7 + 1))
+        x = int(rng.integers(3, rows - bx - 3 + 1))
+        y = int(rng.integers(3, cols - by - 3 + 1))
+        out[x : x + bx, y : y + by] = src[x : x + bx, y : y + by]
+
+    restore()
+    cnt = 4
+    while cnt > 0 and rng.random() < 0.95:
+        restore()
+        cnt -= 1
     return out
 
 
@@ -375,6 +425,17 @@ def np_random_scale_crop(
         np.ascontiguousarray(img[y : y + size, x : x + size]),
         np.ascontiguousarray(mask[y : y + size, x : x + size]),
     )
+
+
+class ScaleCropAug:
+    """Picklable np_random_scale_crop(size) callable for loader workers
+    (lambdas can't cross a process boundary)."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img, mask, rng):
+        return np_random_scale_crop(img, mask, self.size, rng)
 
 
 class CreateOnehotLabel:

@@ -14,9 +14,12 @@ import numpy as np
 
 from ramdsir_tpu.config import TrainConfig
 from ramdsir_tpu.data.fundus import FundusMultiDataset
-from ramdsir_tpu.data.loaders import FusedMultiDomainLoader
+from ramdsir_tpu.data.loaders import (
+    FusedMultiDomainLoader,
+    ProcessFusedMultiDomainLoader,
+)
 from ramdsir_tpu.data.prostate import ProstateMultiDataset
-from ramdsir_tpu.data.transforms import np_random_scale_crop
+from ramdsir_tpu.data.transforms import ScaleCropAug
 from ramdsir_tpu.parallel.mesh import get_mesh, replicate_state, shard_batch
 from ramdsir_tpu.train.checkpoint import BestKeeper, load_checkpoint, save_run_config
 from ramdsir_tpu.train.evaluate import (
@@ -30,19 +33,26 @@ from ramdsir_tpu.utils.logging import MetricsWriter
 from ramdsir_tpu.utils.profiler import StepTimer
 
 
-def build_train_loaders(cfg: TrainConfig, data_root: str, seed: int = 0):
+def build_train_loaders(
+    cfg: TrainConfig, data_root: str, seed: int = 0, rows: Optional[slice] = None
+):
     """Per-source-domain datasets with their hard-coded sub-batch sizes
     (train.py:549-566) behind a fused loader: workers assemble the complete
-    combined batch off the main thread; epoch length = longest domain."""
+    combined batch off the main thread; epoch length = longest domain.
+
+    rows: on multi-host jobs, the slice of the global domain-major batch
+    this process materializes (parallel.distributed.local_batch_slice)."""
     datasets = []
     bsl = cfg.batch_size_list
     for idx, d in enumerate(cfg.domain_idxs):
         rng = np.random.default_rng(seed + idx)
         if cfg.dataset == "fundus":
             # deterministic Resize runs inside the dataset's decode cache;
-            # the random scale/crop suffix uses the GIL-friendly cv2 path
-            size = cfg.image_size
-            np_aug = lambda im, mk, _rng=rng: np_random_scale_crop(im, mk, size, _rng)
+            # the random scale/crop suffix uses the GIL-free cv2 path. The
+            # loader passes a per-sample counter-derived rng (reproducible
+            # under any worker scheduling); ScaleCropAug is picklable for
+            # process workers.
+            np_aug = ScaleCropAug(cfg.image_size)
             ds = FundusMultiDataset(
                 base_dir=data_root,
                 domain_idx_list=[d],
@@ -64,9 +74,31 @@ def build_train_loaders(cfg: TrainConfig, data_root: str, seed: int = 0):
                 rng=rng,
             )
         datasets.append(ds)
+    if (
+        cfg.device_data
+        and cfg.dataset == "fundus"
+        and rows is None  # multi-host keeps the host loader (local rows)
+    ):
+        # HBM-resident dataset: the host's per-step work is a few dozen
+        # int32 indices; gather/scale-crop/donor/RAM run inside the step.
+        from ramdsir_tpu.data.device_pipeline import DeviceFundusPipeline
+
+        return DeviceFundusPipeline(
+            datasets, bsl[: len(datasets)], data_root, cfg.image_size,
+            cfg.test_domain_idx, is_out_domain=cfg.is_out_domain, seed=seed,
+        )
     keys = ("img", "donor", "mask") if cfg.ram else ("img", "mask")
+    if cfg.loader == "process":
+        # Process workers decode/augment truly in parallel (the reference
+        # runs 24-40 DataLoader worker processes, train.py:558-559); the
+        # round-1 thread loader topped out ~200 img/s on the GIL.
+        return ProcessFusedMultiDomainLoader(
+            datasets, bsl[: len(datasets)], keys, seed=seed,
+            num_workers=cfg.num_workers, rows=rows,
+        )
     return FusedMultiDomainLoader(
-        datasets, bsl[: len(datasets)], keys, seed=seed, prefetch=cfg.prefetch + 2
+        datasets, bsl[: len(datasets)], keys, seed=seed, prefetch=cfg.prefetch + 2,
+        num_workers=cfg.num_workers or 6, rows=rows,
     )
 
 
@@ -94,15 +126,57 @@ def _log_viz(writer: MetricsWriter, viz: Dict, step: int, cfg: TrainConfig) -> N
         writer.add_image("train/GT", make_grid(gt_lbl, normalize=False), step)
 
 
+def _device_stream(domain_iter, mesh, depth: int = 2):
+    """Host batches -> in-flight device arrays, `depth` steps ahead.
+
+    `device_put` is asynchronous: issuing the next batch's transfer while
+    the current step computes overlaps h2d with MXU work instead of
+    serializing them (double-buffering).  Yields (real_batch_rows, batch).
+    """
+    from collections import deque
+
+    def put(b):
+        n = next(iter(b.values())).shape[0]
+        if mesh is not None:
+            return n, shard_batch(b, mesh, pad_to_multiple=True)
+        return n, {k: jax.device_put(np.ascontiguousarray(v)) for k, v in b.items()}
+
+    buf = deque()
+    for b in domain_iter:
+        buf.append(put(b))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) -> Dict:
     """Train; returns summary dict. eval_every/max_steps allow smoke runs."""
     cfg = cfg.resolve()
+    if cfg.deterministic:
+        # Reference train.py:608-614 (cudnn.deterministic + seeds).  JAX is
+        # deterministic by construction (explicit PRNG keys, XLA's static
+        # schedules); what remains is host-side randomness: seed the global
+        # RNGs any third-party code might draw from.  The data pipeline is
+        # already counter-seeded per sample (see FusedMultiDomainLoader).
+        import random
+
+        random.seed(cfg.seed)
+        np.random.seed(cfg.seed)
     data_root = os.path.join(cfg.data_root, cfg.dataset)
     save_dir = cfg.save_path
     os.makedirs(save_dir, exist_ok=True)
     save_run_config(save_dir, dataclasses.asdict(cfg))
 
-    domain_iter = build_train_loaders(cfg, data_root, seed=cfg.seed)
+    rows = None
+    if jax.process_count() > 1:
+        # Multi-host: every process derives the SAME epoch plan (same seed)
+        # and materializes only its rows of the global domain-major batch;
+        # shard_batch assembles the global array from the local shards.
+        from ramdsir_tpu.parallel.distributed import local_batch_slice
+
+        rows = local_batch_slice(sum(cfg.batch_size_list[: len(cfg.domain_idxs)]))
+    domain_iter = build_train_loaders(cfg, data_root, seed=cfg.seed, rows=rows)
     steps_per_epoch = len(domain_iter)
     total_iters = steps_per_epoch * cfg.epochs
 
@@ -113,12 +187,25 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
         print(f"resumed from {cfg.checkpoint_resume} at step {int(state.step)}")
 
     mesh = None
-    n_dev = cfg.num_devices or 1
+    # DataParallel semantics (reference train.py:205-208): use EVERY visible
+    # device by default (all hosts' devices on a pod); --num_devices
+    # restricts the mesh explicitly.
+    n_dev = cfg.num_devices or jax.device_count()
     if n_dev > 1:
         mesh = get_mesh(n_dev)
         state = replicate_state(state, mesh)
 
-    train_step = make_train_step(cfg, models, total_iters)
+    dev_data = getattr(domain_iter, "device_data", None)
+    if dev_data is not None and mesh is not None:
+        # dataset arrays replicated over the mesh (idx gathers shard the
+        # batch; the source arrays live on every device — ~100 MB)
+        from ramdsir_tpu.parallel.mesh import replicated
+
+        dev_data = {k: jax.device_put(v, replicated(mesh)) for k, v in dev_data.items()}
+    train_step = make_train_step(
+        cfg, models, total_iters, pad_to_multiple=n_dev if n_dev > 1 else None,
+        device_data=dev_data,
+    )
     predict = make_predict_fn(cfg, models, bn_adapt=False)
 
     writer = MetricsWriter(os.path.join(save_dir, "log"))
@@ -148,59 +235,81 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             writer.add_scalars(dict(zip(names, row)), s, prefix="loss/")
         pending.clear()
 
-    for epoch in range(cfg.epochs):
-        if done:
-            break
-        t_ep = time.time()
-        for batch in domain_iter:
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            key = jax.random.fold_in(rng, step)
-            state, metrics, viz = train_step(state, batch, key)
-            timer.tick(batch["img"].shape[0])
-            if step % cfg.log_interval == 0:
-                pending.append((step, metrics))
-                if len(pending) >= 32:
-                    flush_metrics()
-            if cfg.log_images_every and step % cfg.log_images_every == 0:
-                _log_viz(writer, viz, step, cfg)  # reference train.py:306-329
-            step += 1
-            if max_steps is not None and step >= max_steps:
-                done = True
+    try:
+        for epoch in range(cfg.epochs):
+            if done:
                 break
-        flush_metrics()
+            t_ep = time.time()
+            # per-epoch progress bar (reference train.py:223 wraps the iter
+            # loop in tqdm); disabled when stdout isn't a TTY (CI, logs)
+            from tqdm import tqdm
 
-        if (epoch + 1) % eval_every == 0 or done:
-            if cfg.dataset == "fundus":
-                res = eval_fundus(
-                    predict, state, cfg.data_root, cfg.test_domain_idx,
-                    batch_size=cfg.test_batch_size, image_size=cfg.image_size,
-                )
-                avg = res.avg_dice_pct
-                append_csv_log(
-                    os.path.join(save_dir, f"{cfg.test_domain_idx}_val_log.csv"),
-                    ["batch-size: ", cfg.test_batch_size, epoch,
-                     "cup dice coefficence: ", res.cup_dice,
-                     "disc dice coefficence: ", res.disc_dice],
-                )
-                summary.update(cup_dice=res.cup_dice, disc_dice=res.disc_dice)
-            else:
-                res = eval_prostate_volumes(
-                    predict, state, cfg.data_root, cfg.test_domain_idx,
-                    batch_size=cfg.test_batch_size,
-                )
-                avg = res.dice_pct
-                append_csv_log(
-                    os.path.join(save_dir, f"{cfg.test_domain_idx}_val_log.csv"),
-                    ["batch-size: ", cfg.test_batch_size, epoch, "dice coefficence: ", res.dice],
-                )
-                summary.update(dice=res.dice)
-            writer.add_scalar("eval/avg_dice", avg, step)
-            keeper.update(avg, state, meta={"epoch": epoch, "score": avg})
-            print(
-                f"epoch {epoch}: eval avg dice {avg:.2f} | best {keeper.best:.2f} | "
-                f"{timer.items_per_sec:.1f} img/s | epoch {time.time()-t_ep:.1f}s"
+            pbar = tqdm(
+                total=steps_per_epoch, desc=f"epoch {epoch}", unit="step",
+                leave=False, disable=None, mininterval=2.0,
             )
+            for b_real, batch in _device_stream(domain_iter, mesh, depth=max(2, cfg.prefetch)):
+                key = jax.random.fold_in(rng, step)
+                # profiler trace window: steps 2-12 (skip the compile step)
+                if cfg.trace_dir and step == 2:
+                    jax.profiler.start_trace(cfg.trace_dir)
+                state, metrics, viz = train_step(state, batch, key, dev_data)
+                if cfg.trace_dir and step == 12:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace (steps 2-12) written to {cfg.trace_dir}")
+                timer.tick(b_real)
+                if step % cfg.log_interval == 0:
+                    pending.append((step, metrics))
+                    if len(pending) >= 32:
+                        flush_metrics()
+                if cfg.log_images_every and step % cfg.log_images_every == 0:
+                    _log_viz(writer, viz, step, cfg)  # reference train.py:306-329
+                pbar.update(1)
+                if timer.items_per_sec:
+                    pbar.set_postfix_str(f"{timer.items_per_sec:.0f} img/s", refresh=False)
+                step += 1
+                if max_steps is not None and step >= max_steps:
+                    done = True
+                    break
+            pbar.close()
+            flush_metrics()
+
+            if (epoch + 1) % eval_every == 0 or done:
+                if cfg.dataset == "fundus":
+                    res = eval_fundus(
+                        predict, state, cfg.data_root, cfg.test_domain_idx,
+                        batch_size=cfg.test_batch_size, image_size=cfg.image_size,
+                    )
+                    avg = res.avg_dice_pct
+                    append_csv_log(
+                        os.path.join(save_dir, f"{cfg.test_domain_idx}_val_log.csv"),
+                        ["batch-size: ", cfg.test_batch_size, epoch,
+                         "cup dice coefficence: ", res.cup_dice,
+                         "disc dice coefficence: ", res.disc_dice],
+                    )
+                    summary.update(cup_dice=res.cup_dice, disc_dice=res.disc_dice)
+                else:
+                    res = eval_prostate_volumes(
+                        predict, state, cfg.data_root, cfg.test_domain_idx,
+                        batch_size=cfg.test_batch_size,
+                    )
+                    avg = res.dice_pct
+                    append_csv_log(
+                        os.path.join(save_dir, f"{cfg.test_domain_idx}_val_log.csv"),
+                        ["batch-size: ", cfg.test_batch_size, epoch, "dice coefficence: ", res.dice],
+                    )
+                    summary.update(dice=res.dice)
+                writer.add_scalar("eval/avg_dice", avg, step)
+                keeper.update(avg, state, meta={"epoch": epoch, "score": avg})
+                print(
+                    f"epoch {epoch}: eval avg dice {avg:.2f} | best {keeper.best:.2f} | "
+                    f"{timer.items_per_sec:.1f} img/s | epoch {time.time()-t_ep:.1f}s"
+                )
+
+    finally:
+        # stop loader worker processes (no-op for thread loaders)
+        getattr(domain_iter, "shutdown", lambda: None)()
 
     final_path = keeper.save_final(state, meta={"steps": step})
     writer.close()

@@ -187,4 +187,196 @@ def test_out_domain_donor_exclusion(data_root):
     for _ in range(10):
         # _sample_donor only draws from the non-current source domains
         assert set(pool) == {"Domain1", "Domain3"}
-        ds._sample_donor("Domain2")
+        ds._sample_donor("Domain2", ds.rng)
+
+
+def test_random_resize_aspect_preserving():
+    """transform.py:102-132 exact: short side drives an integer target in
+    [int(0.75*s), int(1.20*s)]; the long side scales by the same ratio."""
+    from PIL import Image
+
+    from ramdsir_tpu.data.transforms import RandomResize
+
+    rng = np.random.default_rng(0)
+    t = RandomResize(rng=rng)
+    img = Image.fromarray(np.zeros((100, 80, 3), np.uint8))   # w=80 < h=100
+    mask = Image.fromarray(np.zeros((100, 80), np.uint8))
+    for _ in range(20):
+        out = t({"img": img, "mask": mask})
+        ow, oh = out["img"].size
+        # origin = min(w, h) = 80; w < h so oh = target, ow = int(w * oh/h)
+        assert int(80 * 0.75) <= oh <= int(80 * 1.20)
+        assert ow == int(80 * (oh / 100))
+        assert out["mask"].size == (ow, oh)
+
+
+def test_rotate_mask_fill_is_255():
+    from PIL import Image
+
+    from ramdsir_tpu.data.transforms import Rotate
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(np.full((64, 64, 3), 128, np.uint8))
+    mask = Image.fromarray(np.zeros((64, 64), np.uint8))  # gray 0 = cup class
+    saw_fill = False
+    for _ in range(10):
+        out = Rotate(rng=rng)({"img": img, "mask": mask})
+        m = np.array(out["mask"])
+        vals = set(np.unique(m).tolist())
+        assert vals <= {0, 255}
+        if 255 in vals:  # rotated-in corners -> ignore/background, never cup
+            saw_fill = True
+    assert saw_fill
+
+
+def test_get_pair_exact_laws():
+    from PIL import Image
+
+    from ramdsir_tpu.data.transforms import GetPair, image_in_painting, image_out_painting
+
+    rng = np.random.default_rng(7)
+    base = np.arange(96 * 96 * 3, dtype=np.int64).reshape(96, 96, 3) % 251
+    base = base.astype(np.uint8)
+
+    inp = image_in_painting(base, np.random.default_rng(1))
+    diff = np.any(inp != base, axis=-1)
+    assert 0 < diff.sum() < base.shape[0] * base.shape[1]  # interior blocks only
+    # inpaint noise is the SAME plane across channels (reference broadcast)
+    ys, xs = np.where(diff)
+    y0, x0 = ys[0], xs[0]
+    assert inp[y0, x0, 0] == inp[y0, x0, 1] == inp[y0, x0, 2]
+    # borders (3 px) never touched
+    assert not diff[:3].any() and not diff[-3:].any()
+    assert not diff[:, :3].any() and not diff[:, -3:].any()
+
+    outp = image_out_painting(base, np.random.default_rng(2))
+    same = np.all(outp == base, axis=-1)
+    assert same.sum() > 0                      # restored block(s)
+    assert (~same).sum() > 0                   # noise elsewhere
+    # restored block sides are in [S - 4S//7, S - 3S//7]
+    rows = np.where(same.any(axis=1))[0]
+    assert rows.size >= 96 - 4 * 96 // 7
+
+    sample = {"img": Image.fromarray(base), "mask": Image.fromarray(base[..., 0])}
+    out = GetPair(rng=rng)(sample)
+    assert "img_aug" in out and out["img_aug"].size == (96, 96)
+    assert np.any(np.array(out["img_aug"]) != base)
+
+
+def test_fused_loader_deterministic_across_runs(data_root):
+    """Counter-based per-sample RNG: two loaders with the same seed yield
+    identical batches (donor choice + crops), regardless of worker count."""
+    from ramdsir_tpu.data.fundus import FundusMultiDataset
+    from ramdsir_tpu.data.loaders import FusedMultiDomainLoader
+    from ramdsir_tpu.data.transforms import np_random_scale_crop
+
+    base = os.path.join(data_root, "fundus")
+
+    def build(workers):
+        datasets = [
+            FundusMultiDataset(
+                base, [d], is_freq=True, test_domain_idx=3, donor_size=32,
+                resize_to=32, rng=np.random.default_rng(d),
+                np_transform=lambda im, mk, rng: np_random_scale_crop(im, mk, 32, rng),
+            )
+            for d in (0, 1, 2)
+        ]
+        return FusedMultiDomainLoader(
+            datasets, [2, 2, 2], ("img", "donor", "mask"), seed=11, num_workers=workers
+        )
+
+    a = [dict(b) for b in build(1)]
+    b = [dict(b) for b in build(6)]
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        for k in ("img", "donor", "mask"):
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_loader_rows_slice_matches_full_build(data_root):
+    """Multi-host input path: a loader materializing only rows [lo, hi) of
+    the global domain-major batch produces exactly those rows of the full
+    build (augmentation is counter-seeded by global position)."""
+    from ramdsir_tpu.data.fundus import FundusMultiDataset
+    from ramdsir_tpu.data.loaders import FusedMultiDomainLoader
+    from ramdsir_tpu.data.transforms import ScaleCropAug
+
+    base = os.path.join(data_root, "fundus")
+
+    def build(rows=None):
+        datasets = [
+            FundusMultiDataset(
+                base, [d], is_freq=True, test_domain_idx=3, donor_size=32,
+                resize_to=32, rng=np.random.default_rng(d),
+                np_transform=ScaleCropAug(32),
+            )
+            for d in (0, 1, 2)
+        ]
+        return FusedMultiDomainLoader(
+            datasets, [2, 3, 3], ("img", "donor", "mask"), seed=21, rows=rows
+        )
+
+    full = list(build())
+    lo, hi = 3, 7  # spans the domain-1/domain-2 boundary
+    part = list(build(rows=slice(lo, hi)))
+    assert len(full) == len(part)
+    for fb, pb in zip(full, part):
+        for k in ("img", "donor", "mask"):
+            assert pb[k].shape[0] == hi - lo
+            np.testing.assert_array_equal(fb[k][lo:hi], pb[k])
+
+
+def test_process_loader_matches_thread_loader(data_root):
+    """Process and thread loaders are batch-for-batch identical for the
+    same seed (shared counter-based _assemble_batch)."""
+    from ramdsir_tpu.data.fundus import FundusMultiDataset
+    from ramdsir_tpu.data.loaders import (
+        FusedMultiDomainLoader,
+        ProcessFusedMultiDomainLoader,
+    )
+    from ramdsir_tpu.data.transforms import ScaleCropAug
+
+    base = os.path.join(data_root, "fundus")
+
+    def datasets():
+        return [
+            FundusMultiDataset(
+                base, [d], is_freq=True, test_domain_idx=3, donor_size=32,
+                resize_to=32, rng=np.random.default_rng(d),
+                np_transform=ScaleCropAug(32),
+            )
+            for d in (0, 1, 2)
+        ]
+
+    thread = list(FusedMultiDomainLoader(datasets(), [2, 2, 2], ("img", "donor", "mask"), seed=5))
+    ploader = ProcessFusedMultiDomainLoader(
+        datasets(), [2, 2, 2], ("img", "donor", "mask"), seed=5, num_workers=3
+    )
+    try:
+        proc = list(ploader)
+        # persistent workers: a second epoch reuses the pool
+        proc2 = list(ploader)
+    finally:
+        ploader.shutdown()
+    assert len(thread) == len(proc) == len(proc2)
+    for tb, pb in zip(thread, proc):
+        for k in ("img", "donor", "mask"):
+            np.testing.assert_array_equal(tb[k], pb[k])
+
+
+def test_fundus_multi_test_split(data_root):
+    """Fundus_Multi split='test' (fundus.py:146-186): reads DomainX_test.list
+    manifests; items carry the transformed img/mask plus the ORIGINAL-size
+    multilabel mask and the id string."""
+    from ramdsir_tpu.data.transforms import Compose, Resize
+
+    base = os.path.join(data_root, "fundus")
+    ds = FundusMultiDataset(
+        base, domain_idx_list=[0, 1], split="test",
+        transform=Compose([Resize((32, 32))]), is_freq=False, test_domain_idx=3,
+    )
+    assert len(ds) == 6  # 3 test images per domain, 2 domains
+    it = ds[0]
+    assert it["img"].shape == (32, 32, 3)
+    assert it["mask_orig"].shape == (48, 48, 2)
+    assert isinstance(it["id"], str) and "Domain" in it["id"]

@@ -40,12 +40,14 @@ def test_fundus_full_ramdsir_steps(roots):
         ram=True, rec=True, consistency=True, consistency_type="kd", epochs=1,
     ).resolve()
     it = build_train_loaders(cfg, os.path.join(roots, "fundus"), seed=cfg.seed)
+    # default fundus path is the HBM-resident pipeline: idx batches + arrays
+    dev = getattr(it, "device_data", None)
     state, models = init_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(cfg, models, total_iters=10)
+    step = make_train_step(cfg, models, total_iters=10, device_data=dev)
     losses = []
     rng = jax.random.PRNGKey(1)
     for i, batch in enumerate(it):
-        state, m, _ = step(state, batch, jax.random.fold_in(rng, i))
+        state, m, _ = step(state, batch, jax.random.fold_in(rng, i), dev)
         assert _metrics_finite(m), m
         losses.append(float(m["loss"]))
         if i == 2:
@@ -62,10 +64,11 @@ def test_plain_supervised_config1(roots):
         ram=False, rec=False, consistency=False, epochs=1,
     ).resolve()
     it = build_train_loaders(cfg, os.path.join(roots, "fundus"), seed=0)
+    dev = getattr(it, "device_data", None)
     state, models = init_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(cfg, models, total_iters=10)
+    step = make_train_step(cfg, models, total_iters=10, device_data=dev)
     batch = next(iter(it))
-    state, m, _ = step(state, batch, jax.random.PRNGKey(2))
+    state, m, _ = step(state, batch, jax.random.PRNGKey(2), dev)
     assert _metrics_finite(m)
     assert "loss_consistency" not in m  # no RAM branch
 
@@ -131,14 +134,15 @@ def test_remat_matches_plain(roots):
         consistency=True, consistency_type="kd",
     )
     it = build_train_loaders(TrainConfig(**base).resolve(), os.path.join(roots, "fundus"), seed=0)
+    dev = getattr(it, "device_data", None)
     batch = next(iter(it))
     key = jax.random.PRNGKey(9)
     outs = {}
     for remat in (False, True):
         cfg = TrainConfig(**base, remat=remat).resolve()
         state, models = init_state(cfg, jax.random.PRNGKey(0))
-        step = make_train_step(cfg, models, total_iters=10)
-        _, m, _ = step(state, batch, key)
+        step = make_train_step(cfg, models, total_iters=10, device_data=dev)
+        _, m, _ = step(state, batch, key, dev)
         outs[remat] = {k: float(v) for k, v in m.items()}
     for k in outs[False]:
         np.testing.assert_allclose(outs[True][k], outs[False][k], rtol=1e-5)
