@@ -7,10 +7,15 @@ the reference's hot loop does per iteration (code/train.py:223-331),
 including the CPU FFT work its DataLoader workers do.
 
 Baseline: the reference repo publishes no throughput numbers (BASELINE.md).
-REF_2080TI_IMGS_PER_SEC is our documented estimate of the torch reference
-on its stated hardware (RTX 2080Ti, ~2M-param U-Net, two encoder passes +
-two decoders per step at batch 16): ~80 images/sec.  vs_baseline is
-reported against that estimate until a measured torch number replaces it.
+REF_2080TI_IMGS_PER_SEC is DERIVED, not guessed — see
+benchmarks/torch_baseline.py + benchmarks/torch_baseline.json: the full
+reference train step (independent torch build of the architecture) costs
+1.12 TFLOPs (analytic conv count, fwd+bwd, dual encoder + both decoders at
+batch 16/256^2); on the stated RTX 2080Ti (13.45 TFLOPS fp32 peak) at the
+documented 30-50% cuDNN conv efficiency range that is 58-96 img/s.  We
+divide by the 40%-efficiency midpoint, 76.8 img/s (the same step measured
+in torch on this machine's CPU achieves 0.012 TFLOPS, sanity-anchoring the
+FLOP count).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,9 +26,46 @@ import time
 
 import numpy as np
 
-REF_2080TI_IMGS_PER_SEC = 80.0
+# benchmarks/torch_baseline.json: rtx2080ti_est_img_s_eff40
+REF_2080TI_IMGS_PER_SEC = 76.8
 WARMUP_STEPS = 5
 TIMED_STEPS = 50
+
+
+def main_e2e(max_steps: int = 80) -> None:
+    """END-TO-END training throughput: synthetic fundus tree on disk ->
+    fit() with the HBM-resident data pipeline (decode once, then the host
+    sends int32 indices only).  Round-1 e2e was 212 img/s, host-bound; the
+    device pipeline removes the host from the hot path."""
+    import tempfile
+
+    import jax
+
+    from ramdsir_tpu.config import TrainConfig
+    from ramdsir_tpu.data.synthetic import make_fundus_tree
+    from ramdsir_tpu.train.loop import fit
+
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    # real fundus manifest sizes are 50/99/320 train images; enough images
+    # that one epoch is many steps, small enough that setup stays bounded
+    make_fundus_tree(root, per_domain_train=64, per_domain_test=2, size=256)
+    cfg = TrainConfig(
+        data_root=root, dataset="fundus", image_size=256, test_domain_idx=0,
+        domain_idxs=(1, 2, 3), save_path=root + "/run", ram=True, rec=True,
+        consistency=True, consistency_type="kd", epochs=max(1, max_steps // 4),
+        compute_dtype="bfloat16", log_images_every=0, log_interval=10,
+    )
+    summary = fit(cfg, eval_every=10**9, max_steps=max_steps)
+    print(
+        json.dumps(
+            {
+                "metric": "fundus RAM-DSIR END-TO-END training (fit(): device-resident data, batch 16, 256x256, bf16)",
+                "value": round(summary["images_per_sec"], 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(summary["images_per_sec"] / REF_2080TI_IMGS_PER_SEC, 3),
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -76,4 +118,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--e2e" in sys.argv:
+        main_e2e()
+    else:
+        main()

@@ -11,7 +11,7 @@ import os.path as osp
 import jax
 
 from ramdsir_tpu.config import TrainConfig
-from ramdsir_tpu.train.checkpoint import load_checkpoint
+from ramdsir_tpu.train.checkpoint import load_any_checkpoint
 from ramdsir_tpu.train.evaluate import append_csv_log, eval_prostate_volumes
 from ramdsir_tpu.train.state import init_state
 from ramdsir_tpu.train.steps import make_predict_fn
@@ -45,7 +45,7 @@ def main(argv=None):
         save_path=output_path,
     ).resolve()
     state, models = init_state(cfg, jax.random.PRNGKey(0))
-    state, _ = load_checkpoint(a.model_file, state)
+    state, _ = load_any_checkpoint(a.model_file, state)
     predict = make_predict_fn(cfg, models, bn_adapt=not a.freeze_bn)
 
     res = eval_prostate_volumes(

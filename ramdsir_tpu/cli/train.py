@@ -45,6 +45,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--remat", action="store_true", help="rematerialize the forward (saves HBM)")
     p.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     p.add_argument("--max_steps", type=int, default=None, help="smoke-run cap")
+    p.add_argument(
+        "--trace_dir", type=str, default=None,
+        help="capture a jax.profiler trace of steps 2-12 into this directory",
+    )
     return p.parse_args(argv)
 
 
@@ -78,6 +82,7 @@ def main(argv=None):
         ram_use_pallas=a.ram_use_pallas,
         remat=a.remat,
         checkpoint_resume=a.resume,
+        trace_dir=a.trace_dir,
     )
     summary = fit(cfg, max_steps=a.max_steps)
     print(summary)

@@ -50,8 +50,13 @@ def connectivity_region_analysis(mask: np.ndarray) -> np.ndarray:
     """Largest-component volume cleanup (utils.py:30-42).
 
     Uses scipy.ndimage.label defaults (connectivity-1) and includes the
-    background bucket in the size argmax — for an all-zero mask the result
-    stays all-zero, matching the reference.
+    background bucket in the size argmax.
+
+    DELIBERATE DIVERGENCE (see PARITY.md): for an all-zero mask the
+    reference sets `label_im[label_im == argmax] = 1` with argmax == 0 and
+    returns ALL-ONES — an empty prediction scores as a full-volume mask.
+    We return all-zeros (the sane reading); this only changes degenerate
+    early-epoch prostate evals where the model predicts nothing.
     """
     mask = np.asarray(mask)
     try:

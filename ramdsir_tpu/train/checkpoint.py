@@ -41,6 +41,21 @@ def load_checkpoint(path: str, template: TrainState) -> Tuple[TrainState, Dict[s
     return state, payload.get("meta", {})
 
 
+def load_any_checkpoint(path: str, template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+    """Load either a native .ckpt or a reference torch .pth checkpoint.
+
+    The reference eval scripts consume `{encoder,seg_decoder}_state_dict`
+    .pth files (test_fundus_slice.py:67-70); routing .pth through the
+    weight-interchange layer lets the eval CLIs score reference-trained
+    checkpoints directly for parity runs.
+    """
+    if path.endswith((".pth", ".pt")):
+        from ramdsir_tpu.utils.torch_compat import import_torch_checkpoint
+
+        return import_torch_checkpoint(path, template), {}
+    return load_checkpoint(path, template)
+
+
 class BestKeeper:
     """Keep-best-delete-previous + final (train.py:337-361)."""
 
