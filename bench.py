@@ -28,11 +28,12 @@ import numpy as np
 
 # benchmarks/torch_baseline.json: rtx2080ti_est_img_s_eff40
 REF_2080TI_IMGS_PER_SEC = 76.8
-WARMUP_STEPS = 5
-TIMED_STEPS = 50
+WARMUP_STEPS = 3
+SMALL_STEPS = 5
+BIG_STEPS = 55
 
 
-def main_e2e(max_steps: int = 80) -> None:
+def main_e2e(max_steps: int = 252) -> None:
     """END-TO-END training throughput: synthetic fundus tree on disk ->
     fit() with the HBM-resident data pipeline (decode once, then the host
     sends int32 indices only).  Round-1 e2e was 212 img/s, host-bound; the
@@ -52,7 +53,7 @@ def main_e2e(max_steps: int = 80) -> None:
     cfg = TrainConfig(
         data_root=root, dataset="fundus", image_size=256, test_domain_idx=0,
         domain_idxs=(1, 2, 3), save_path=root + "/run", ram=True, rec=True,
-        consistency=True, consistency_type="kd", epochs=max(1, max_steps // 4),
+        consistency=True, consistency_type="kd", epochs=24,
         compute_dtype="bfloat16", log_images_every=0, log_interval=10,
     )
     summary = fit(cfg, eval_every=10**9, max_steps=max_steps)
@@ -71,6 +72,9 @@ def main_e2e(max_steps: int = 80) -> None:
 def main() -> None:
     import jax
 
+    from ramdsir_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from ramdsir_tpu.config import TrainConfig
     from ramdsir_tpu.train.state import init_state
     from ramdsir_tpu.train.steps import make_train_step
@@ -84,7 +88,7 @@ def main() -> None:
     state, models = init_state(cfg, jax.random.PRNGKey(0))
     bsl = cfg.batch_size_list  # [3, 6, 7] -> global batch 16
     batch_size = sum(bsl)
-    step = make_train_step(cfg, models, total_iters=10_000, batch_size_list=bsl)
+    step = make_train_step(cfg, models, total_iters=10_000, batch_size_list=bsl, donate=True)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -94,17 +98,28 @@ def main() -> None:
     }
 
     key = jax.random.PRNGKey(1)
-    for i in range(WARMUP_STEPS):
-        state, metrics, _ = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        state, metrics, _ = step(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    # Differential timing with a REAL readback as the barrier:
+    # jax.block_until_ready can return before execution finishes on
+    # relay-tunneled devices (measured here: a 27-TFLOP program "blocked"
+    # in 0 ms), silently turning the loop into a dispatch-rate benchmark.
+    # A scalar device_get is the only trustworthy sync; timing N_small and
+    # N_big steps and differencing cancels its fixed latency.
+    def run(n, base):
+        nonlocal state
+        t0 = time.perf_counter()
+        metrics = None
+        for i in range(n):
+            state, metrics, _ = step(state, batch, jax.random.fold_in(key, base + i))
+        float(np.asarray(jax.device_get(metrics["loss"])))
+        return time.perf_counter() - t0
 
-    imgs_per_sec = batch_size * TIMED_STEPS / dt
+    run(WARMUP_STEPS, 0)
+    t_small = min(run(SMALL_STEPS, 100), run(SMALL_STEPS, 200))
+    t_big = min(run(BIG_STEPS, 300), run(BIG_STEPS, 400))
+    dt = (t_big - t_small) / (BIG_STEPS - SMALL_STEPS)
+
+    imgs_per_sec = batch_size / dt
     print(
         json.dumps(
             {

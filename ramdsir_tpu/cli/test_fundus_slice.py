@@ -40,6 +40,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ramdsir_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     a = parse_args(argv)
     output_path = os.path.join(a.test_prediction_save_path, "test" + str(a.datasetTest))
     os.makedirs(output_path, exist_ok=True)

@@ -49,6 +49,11 @@ def parse_args(argv=None) -> argparse.Namespace:
         "--trace_dir", type=str, default=None,
         help="capture a jax.profiler trace of steps 2-12 into this directory",
     )
+    p.add_argument(
+        "--scan_window", type=int, default=None,
+        help="train steps per XLA dispatch with the device pipeline "
+        "(default: auto; 1 disables the lax.scan window)",
+    )
     return p.parse_args(argv)
 
 
@@ -83,6 +88,7 @@ def main(argv=None):
         remat=a.remat,
         checkpoint_resume=a.resume,
         trace_dir=a.trace_dir,
+        scan_window=a.scan_window,
     )
     summary = fit(cfg, max_steps=a.max_steps)
     print(summary)

@@ -78,6 +78,12 @@ class TrainConfig:
     # HBM-resident dataset: gather + scale-crop aug + donor lookup run inside
     # the jitted step; host sends int32 indices only (fundus; ~92 MB u8)
     device_data: bool = True
+    # lax.scan window: W train steps per XLA dispatch when the device
+    # pipeline is active (None = auto: min(steps_per_epoch, 32); 1 = one
+    # dispatch per step, required for --trace_dir's per-step windows).
+    # Metrics stay per-step (the window returns a stacked table); TB image
+    # grids log the window's LAST step when the cadence lands inside one.
+    scan_window: Optional[int] = None
     log_interval: int = 1
     log_images_every: int = 100  # TB image grids (reference: 100); 0 disables
     checkpoint_resume: Optional[str] = None

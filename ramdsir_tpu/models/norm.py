@@ -67,9 +67,16 @@ class BatchNorm(nn.Module):
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * scale + bias
-        return y.astype(self.dtype or x.dtype)
+        # Stats are f32 (torch parity); the normalize itself runs in the
+        # activation dtype.  Under bf16 compute this keeps every BN-adjacent
+        # elementwise pass AND its backward cotangets at bf16 bandwidth —
+        # the f32 x-cast above only feeds the reductions, which XLA fuses
+        # (bf16 read, f32 accumulate) without materializing an f32 map.
+        dt = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x.astype(dt) - mean.astype(dt)) * inv.astype(dt)
+        y = y * scale.astype(dt) + bias.astype(dt)
+        return y
 
 
 class DomainSpecificBatchNorm(nn.Module):
@@ -133,9 +140,11 @@ class DomainSpecificBatchNorm(nn.Module):
                 ra_mean.value = ra_mean.value.at[d].set(new_mean)
                 ra_var.value = ra_var.value.at[d].set(new_var)
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * jnp.take(scale, d, axis=0) + jnp.take(bias, d, axis=0)
-        return y.astype(self.dtype or x.dtype)
+        dt = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x.astype(dt) - mean.astype(dt)) * inv.astype(dt)
+        y = y * jnp.take(scale, d, axis=0).astype(dt) + jnp.take(bias, d, axis=0).astype(dt)
+        return y
 
     def _segment_bn(
         self, x, domain, scale, bias, ra_mean, ra_var, use_running_average, n_valid=None
@@ -169,13 +178,15 @@ class DomainSpecificBatchNorm(nn.Module):
                 )
 
         # per-sample gather of this sample's domain stats/affine
+        dt = self.dtype or x.dtype
         mean_b = onehot @ mean_d  # (B, C)
         var_b = onehot @ var_d
         scale_b = onehot @ scale
         bias_b = onehot @ bias
-        y = (xf - mean_b[:, None, None, :]) * jax.lax.rsqrt(var_b[:, None, None, :] + self.eps)
-        y = y * scale_b[:, None, None, :] + bias_b[:, None, None, :]
-        return y.astype(self.dtype or x.dtype)
+        inv_b = jax.lax.rsqrt(var_b + self.eps)
+        y = (x.astype(dt) - mean_b.astype(dt)[:, None, None, :]) * inv_b.astype(dt)[:, None, None, :]
+        y = y * scale_b.astype(dt)[:, None, None, :] + bias_b.astype(dt)[:, None, None, :]
+        return y
 
 
 class InstanceNorm(nn.Module):
@@ -189,8 +200,9 @@ class InstanceNorm(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        return y.astype(x.dtype)
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        return y
 
 
 class Norm(nn.Module):

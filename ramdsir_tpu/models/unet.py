@@ -90,6 +90,10 @@ class _Base(nn.Module):
             use_bias=True,
             kernel_init=kaiming_normal_fanout(activation),
             bias_init=torch_conv_bias_init(fan_in),
+            # compute in the activation dtype: with dtype=None flax would
+            # promote(bf16 input, f32 params) -> f32 and silently run every
+            # conv on the slow path; params stay f32 (param_dtype default)
+            dtype=x.dtype,
             name=name,
         )(x)
 

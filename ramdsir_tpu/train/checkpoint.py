@@ -74,7 +74,9 @@ class BestKeeper:
                 pass
 
     def update(self, score: float, state: TrainState, meta: Optional[Dict] = None) -> bool:
-        if score < self.best:
+        # strict improvement only, like the reference (train.py:337-350):
+        # equal scores keep the existing checkpoint instead of rewriting it
+        if score <= self.best:
             return False
         if self._best_path and os.path.exists(self._best_path):
             os.remove(self._best_path)

@@ -9,7 +9,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ramdsir_tpu.config import TrainConfig
@@ -152,6 +151,9 @@ def _device_stream(domain_iter, mesh, depth: int = 2):
 
 def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) -> Dict:
     """Train; returns summary dict. eval_every/max_steps allow smoke runs."""
+    from ramdsir_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = cfg.resolve()
     if cfg.deterministic:
         # Reference train.py:608-614 (cudnn.deterministic + seeds).  JAX is
@@ -202,9 +204,24 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
         from ramdsir_tpu.parallel.mesh import replicated
 
         dev_data = {k: jax.device_put(v, replicated(mesh)) for k, v in dev_data.items()}
+    # lax.scan window: W steps per XLA dispatch when the whole dataset is
+    # device-resident — the host does NOTHING per step (no h2d, no key
+    # fold_in, no dispatch), which is what actually feeds a fast chip from
+    # a weak/tunneled host.  --trace_dir needs per-step dispatch boundaries,
+    # so it forces W=1.
+    scan_w = 1
+    if dev_data is not None and not cfg.trace_dir and jax.process_count() == 1:
+        if cfg.scan_window:
+            scan_w = cfg.scan_window
+        else:
+            # auto: prefer a divisor of steps_per_epoch (a remainder window
+            # is a second compiled program), biggest one within the cap
+            cap = 32
+            divs = [d for d in range(2, cap + 1) if steps_per_epoch % d == 0]
+            scan_w = max(divs) if divs else min(steps_per_epoch, cap)
     train_step = make_train_step(
         cfg, models, total_iters, pad_to_multiple=n_dev if n_dev > 1 else None,
-        device_data=dev_data,
+        device_data=dev_data, donate=True, scan=scan_w > 1,
     )
     predict = make_predict_fn(cfg, models, bn_adapt=False)
 
@@ -215,25 +232,72 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     step = int(state.step)
     done = False
     summary: Dict = {}
-    # Metrics are jax scalars (futures under async dispatch); buffering them
-    # and flushing in bulk keeps the host feeding the device instead of
-    # blocking on every step's values.
-    pending = []
+    # Metrics are jax scalars (futures under async dispatch).  Readback
+    # strategy matters enormously on tunneled devices (measured here: a
+    # d2h pull costs ~3.3 s of wall time REGARDLESS of size): steps/windows
+    # append their scalars into an on-device ring; the host pulls the whole
+    # ring in one transfer every `cap` steps / at eval / at the end.
+    from ramdsir_tpu.utils.logging import DeviceMetricsRing
 
-    def flush_metrics():
-        if not pending:
-            return
-        # ONE device->host transfer for the whole buffer (readback latency
-        # dominates on tunneled devices; per-scalar pulls are pathological).
-        names = list(pending[0][1].keys())
-        stacked = np.asarray(
-            jax.device_get(
-                jnp.stack([jnp.stack([m[k] for k in names]) for _, m in pending])
-            )
-        )
-        for (s, _), row in zip(pending, stacked):
-            writer.add_scalars(dict(zip(names, row)), s, prefix="loss/")
-        pending.clear()
+    ring = DeviceMetricsRing(writer, log_interval=cfg.log_interval)
+
+    def run_scan_epoch(state, pbar):
+        nonlocal step, done
+        plan = domain_iter.epoch_plan()
+        b_real = plan["img_idx"].shape[1]
+        if n_dev > 1 and b_real % n_dev:
+            pad = (-b_real) % n_dev
+            plan = {
+                k: np.concatenate([v, np.zeros((v.shape[0], pad), v.dtype)], axis=1)
+                for k, v in plan.items()
+            }
+        pos = 0
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = NamedSharding(mesh, PartitionSpec(None, "data")) if mesh else None
+        while pos < steps_per_epoch and not done:
+            w = min(scan_w, steps_per_epoch - pos)
+            if max_steps is not None:
+                w = min(w, max_steps - step)
+            if w <= 0:
+                done = True
+                break
+            _t0 = time.perf_counter()
+            win = {k: v[pos : pos + w] for k, v in plan.items()}
+            win = {
+                k: (jax.device_put(v, spec) if spec else jax.device_put(v))
+                for k, v in win.items()
+            }
+            _t1 = time.perf_counter()
+            state, mtable, viz = train_step(state, win, rng, dev_data)
+            _t2 = time.perf_counter()
+            ring.append(step, mtable)  # (W,)-valued dict; pulled when full
+            if os.environ.get("RAMDSIR_TIMING"):
+                print(
+                    f"window step={step} w={w}: put {1e3*(_t1-_t0):.0f}ms "
+                    f"dispatch {1e3*(_t2-_t1):.0f}ms "
+                    f"append {1e3*(time.perf_counter()-_t2):.0f}ms",
+                    flush=True,
+                )
+            # ticks fire at dispatch (everything above is async); the
+            # timing window is extended to actual completion by timer.mark()
+            # after the sync at eval boundaries / end of training — device
+            # syncs cost seconds on tunneled chips, so they are NOT per
+            # window
+            for _ in range(w):
+                timer.tick(b_real)
+            pbar.update(w)
+            if timer.items_per_sec:
+                pbar.set_postfix_str(f"{timer.items_per_sec:.0f} img/s", refresh=False)
+            if cfg.log_images_every and any(
+                (step + i) % cfg.log_images_every == 0 for i in range(w)
+            ):
+                _log_viz(writer, viz, step + w - 1, cfg)
+            step += w
+            pos += w
+            if max_steps is not None and step >= max_steps:
+                done = True
+        return state
 
     try:
         for epoch in range(cfg.epochs):
@@ -248,7 +312,14 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                 total=steps_per_epoch, desc=f"epoch {epoch}", unit="step",
                 leave=False, disable=None, mininterval=2.0,
             )
-            for b_real, batch in _device_stream(domain_iter, mesh, depth=max(2, cfg.prefetch)):
+            if scan_w > 1:
+                state = run_scan_epoch(state, pbar)
+                pbar.close()
+                # fall through to the shared eval/checkpoint block
+                batch_iter = ()
+            else:
+                batch_iter = _device_stream(domain_iter, mesh, depth=max(2, cfg.prefetch))
+            for b_real, batch in batch_iter:
                 key = jax.random.fold_in(rng, step)
                 # profiler trace window: steps 2-12 (skip the compile step)
                 if cfg.trace_dir and step == 2:
@@ -260,9 +331,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                     print(f"profiler trace (steps 2-12) written to {cfg.trace_dir}")
                 timer.tick(b_real)
                 if step % cfg.log_interval == 0:
-                    pending.append((step, metrics))
-                    if len(pending) >= 32:
-                        flush_metrics()
+                    ring.append(step, metrics)  # pulled when the ring fills
                 if cfg.log_images_every and step % cfg.log_images_every == 0:
                     _log_viz(writer, viz, step, cfg)  # reference train.py:306-329
                 pbar.update(1)
@@ -273,9 +342,14 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                     done = True
                     break
             pbar.close()
-            flush_metrics()
 
             if (epoch + 1) % eval_every == 0 or done:
+                # REAL device sync: block_until_ready can return before
+                # execution finishes on relay-tunneled devices (measured);
+                # an actual readback is the only trustworthy barrier.
+                int(jax.device_get(state.step))
+                timer.mark()  # close the throughput window at completed work
+                ring.flush()  # scalars reach TB before the eval row does
                 if cfg.dataset == "fundus":
                     res = eval_fundus(
                         predict, state, cfg.data_root, cfg.test_domain_idx,
@@ -311,6 +385,9 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
         # stop loader worker processes (no-op for thread loaders)
         getattr(domain_iter, "shutdown", lambda: None)()
 
+    int(jax.device_get(state.step))  # real sync (see eval-block note)
+    timer.mark()  # include the in-flight tail steps' execution time
+    ring.flush()
     final_path = keeper.save_final(state, meta={"steps": step})
     writer.close()
     summary.update(

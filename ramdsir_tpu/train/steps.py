@@ -52,6 +52,8 @@ def make_train_step(
     batch_size_list: Optional[List[int]] = None,
     pad_to_multiple: Optional[int] = None,
     device_data: Optional[Dict[str, jax.Array]] = None,
+    donate: bool = False,
+    scan: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -233,23 +235,9 @@ def make_train_step(
 
     use_device_data = device_data is not None
 
-    @jax.jit
-    def train_step(
-        state: TrainState,
-        batch: Dict[str, jax.Array],
-        key: jax.Array,
-        data: Optional[Dict[str, jax.Array]] = None,
-    ):
-        # `data` (HBM-resident dataset arrays) is a runtime argument, not a
-        # closure capture: captured concrete arrays would be baked into the
-        # jaxpr as ~100 MB compile-time constants.
-        if use_device_data:
-            from ramdsir_tpu.data.device_pipeline import gather_and_augment
-
-            k_aug, key = jax.random.split(key)
-            batch = gather_and_augment(
-                data, batch["img_idx"], batch["donor_idx"], k_aug, cfg.image_size
-            )
+    def _update(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+        """One optimizer step from a materialized batch (shared by the
+        per-step and the lax.scan window programs)."""
         (_, (new_stats, metrics, viz)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, key
         )
@@ -275,6 +263,71 @@ def make_train_step(
             viz,
         )
 
+    def _gather_step(state: TrainState, idx_row: Dict[str, jax.Array], key: jax.Array, data):
+        # `data` (HBM-resident dataset arrays) is a runtime argument, not a
+        # closure capture: captured concrete arrays would be baked into the
+        # jaxpr as ~100 MB compile-time constants.
+        from ramdsir_tpu.data.device_pipeline import gather_and_augment
+
+        k_aug, key = jax.random.split(key)
+        batch = gather_and_augment(
+            data, idx_row["img_idx"], idx_row["donor_idx"], k_aug, cfg.image_size
+        )
+        return _update(state, batch, key)
+
+    # donate=True lets XLA update params/opt-state/batch-stats in place
+    # instead of double-buffering them (~3x param bytes of HBM back).  The
+    # caller must then treat the input state as consumed — fit() and
+    # bench.py rebind `state` every step and never touch the old one.
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        data: Optional[Dict[str, jax.Array]] = None,
+    ):
+        if use_device_data:
+            return _gather_step(state, batch, key, data)
+        return _update(state, batch, key)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def scan_train_steps(
+        state: TrainState,
+        plan: Dict[str, jax.Array],
+        base_key: jax.Array,
+        data: Dict[str, jax.Array],
+    ):
+        """W training steps in ONE XLA program (zero host work per step).
+
+        plan: {img_idx, donor_idx} int32 of shape (W, B) — one row per step,
+        produced by DeviceFundusPipeline.epoch_plan().  The per-step PRNG
+        key is fold_in(base_key, state.step), identical to the sequence the
+        per-step loop uses, so scan windows and single steps are
+        numerically interchangeable (tests/test_scan.py).  Step 0 runs
+        unrolled to give the viz its carry shape; metrics come back stacked
+        (W,) per key.
+        """
+        def step_once(st, row):
+            key = jax.random.fold_in(base_key, st.step)
+            return _gather_step(st, row, key, data)
+
+        first = jax.tree.map(lambda x: x[0], plan)
+        state, m0, viz = step_once(state, first)
+        rest = jax.tree.map(lambda x: x[1:], plan)
+
+        def body(carry, row):
+            st, _ = carry
+            st, m, v = step_once(st, row)
+            return (st, v), m
+
+        (state, viz), ms = jax.lax.scan(body, (state, viz), rest)
+        metrics = {k: jnp.concatenate([m0[k][None], ms[k]]) for k in m0}
+        return state, metrics, viz
+
+    if scan:
+        if not use_device_data:
+            raise ValueError("scan=True requires the device-resident dataset")
+        return scan_train_steps
     return train_step
 
 

@@ -87,3 +87,78 @@ def decode_seg_map(label_mask: np.ndarray, num_classes: int = 5) -> np.ndarray:
     """(H, W) int -> (H, W, 3) float RGB."""
     label_mask = np.asarray(label_mask).astype(int) % num_classes
     return _PALETTE[label_mask]
+
+
+class DeviceMetricsRing:
+    """Bounded on-device buffer for per-step scalar metrics.
+
+    Device->host readbacks over tunneled/relayed TPU links cost SECONDS of
+    wall time regardless of payload size (measured ~3.3 s for a 756-byte
+    pull here), so per-step or per-window scalar pulls throttle training.
+    Instead, each step/window APPENDS its metrics on device (a tiny
+    dynamic_update_slice program) into one (cap, K) float32 ring; the host
+    pulls the whole ring in ONE transfer when it fills, at eval boundaries,
+    or at the end of training.  At cap=2048 and log_interval=1 that is one
+    ~3 s pull per 2048 steps — noise — while per-step values stay exact.
+
+    The reference logs scalars eagerly every iteration
+    (code/train.py:298-305); the values written here are identical, only
+    batched in time.
+    """
+
+    def __init__(
+        self,
+        writer: "MetricsWriter",
+        cap: int = 2048,
+        prefix: str = "loss/",
+        log_interval: int = 1,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.writer = writer
+        self.cap = cap
+        self.prefix = prefix
+        self.log_interval = max(1, log_interval)
+        self.names: Optional[list] = None
+        self.buf = None
+        self.steps: list = []  # row i of buf belongs to global step steps[i]
+        self._jnp = jnp
+        self._append = jax.jit(
+            lambda buf, table, pos: jax.lax.dynamic_update_slice(
+                buf, table, (pos, jnp.int32(0))
+            )
+        )
+        # (W,)-valued dicts -> (W, K); ()-valued dicts -> (1, K)
+        self._stack = jax.jit(
+            lambda t: jnp.stack(
+                [jnp.atleast_1d(t[k].astype(jnp.float32)) for k in sorted(t)], axis=-1
+            )
+        )
+
+    def append(self, start_step: int, metrics: dict) -> None:
+        """metrics: dict of () scalars (one step) or (W,) arrays (a scan
+        window covering steps start_step..start_step+W-1)."""
+        if self.names is None:
+            self.names = sorted(metrics)
+            self.buf = self._jnp.zeros((self.cap, len(self.names)), self._jnp.float32)
+        table = self._stack(metrics)
+        w = table.shape[0]
+        if len(self.steps) + w > self.cap:
+            self.flush()
+        self.buf = self._append(self.buf, table, len(self.steps))
+        self.steps.extend(range(start_step, start_step + w))
+
+    def flush(self) -> None:
+        """ONE device->host pull; writes rows whose step hits log_interval."""
+        if not self.steps:
+            return
+        import jax
+
+        table = np.asarray(jax.device_get(self.buf))[: len(self.steps)]
+        for s, row in zip(self.steps, table):
+            if s % self.log_interval == 0:
+                self.writer.add_scalars(
+                    dict(zip(self.names, row)), s, prefix=self.prefix
+                )
+        self.steps.clear()

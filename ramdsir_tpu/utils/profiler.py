@@ -20,18 +20,38 @@ class StepTimer:
         self.steps = 0
         self.items = 0
         self._t0: Optional[float] = None
+        self._last: Optional[float] = None
 
     def tick(self, batch_items: int) -> None:
         self.steps += 1
+        now = time.perf_counter()
         if self.steps == self.warmup:
-            self._t0 = time.perf_counter()
+            self._t0 = now
             self.items = 0
         elif self.steps > self.warmup:
             self.items += batch_items
+        self._last = now
+
+    def mark(self) -> None:
+        """Extend the timing window to NOW without adding items.
+
+        Call after a device sync (block_until_ready): ticks fire at dispatch
+        time (async), so the window would otherwise end before the last
+        steps actually executed.  One mark at a sync point makes
+        items_per_sec a completed-work rate at the cost of a single sync."""
+        if self._t0:
+            self._last = time.perf_counter()
 
     @property
     def elapsed(self) -> float:
-        return (time.perf_counter() - self._t0) if self._t0 else 0.0
+        # frozen at the LAST tick: throughput measures the training steps
+        # themselves, not whatever runs after them (end-of-epoch eval can
+        # cost a predict compile — reading the clock at summary time used
+        # to fold that into images/sec).  Ticks fire right after the async
+        # dispatch, so the window under-counts by at most one step.
+        if not self._t0:
+            return 0.0
+        return (self._last or self._t0) - self._t0
 
     @property
     def items_per_sec(self) -> float:
