@@ -165,3 +165,22 @@ def test_reference_param_count_totals():
     assert sum(x.size for x in jax.tree.leaves(ev["params"])) == enc_want
     assert sum(x.size for x in jax.tree.leaves(dv["params"])) == dec_want
     assert sum(x.size for x in jax.tree.leaves(rv["params"])) == rec_want
+
+
+def test_bfloat16_forward_close_to_f32():
+    """bf16 compute path: convs/norms actually run in bf16 (flax dtype=None
+    would silently promote to f32 — the round-2 perf bug) and the forward
+    stays close to the f32 reference path."""
+    import numpy as np
+
+    enc = Encoder(c=3, n=16, norm="bn")
+    x32 = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32))
+    v = enc.init(jax.random.PRNGKey(0), x32, train=False)
+    f32_feats = enc.apply(v, x32, train=True, mutable=["batch_stats"])[0]
+    bf_feats = enc.apply(v, x32.astype(jnp.bfloat16), train=True, mutable=["batch_stats"])[0]
+    assert bf_feats[-1].dtype == jnp.bfloat16
+    a = np.asarray(f32_feats[-1], np.float32)
+    b = np.asarray(bf_feats[-1], np.float32)
+    # bf16 has ~3 decimal digits; activations are O(1) post-BN
+    assert np.max(np.abs(a - b)) < 0.35
+    assert np.mean(np.abs(a - b)) < 0.05
