@@ -247,3 +247,124 @@ def gather_and_augment(device_data: Dict[str, jax.Array], img_idx, donor_idx, ke
     donors = jnp.take(device_data["donors"], donor_idx, axis=0).astype(jnp.float32)
     out_i, out_m = device_scale_crop(imgs, masks, key, size)
     return {"img": out_i, "donor": donors, "mask": out_m.astype(jnp.float32)}
+
+
+class DeviceProstatePipeline:
+    """HBM-resident prostate pipeline (prostate.py:64-212 semantics).
+
+    Prostate training applies NO transform (train.py:540-542): an epoch is
+    per-domain shuffle-without-replacement over raw (H,W,3) float slices in
+    [-1,1], plus a cross-domain donor slice for the RAM mixup.  All slices
+    of every train domain are stacked once into HBM as float32 (the values
+    are continuous, so unlike fundus there is no exact uint8 form) and the
+    donor pool indexes the SAME array — per-step host work is two (B,)
+    int32 index vectors, and scan windows work exactly as for fundus.
+    """
+
+    def __init__(
+        self,
+        datasets: Sequence,
+        batch_sizes: Sequence[int],
+        base_dir: str,
+        test_domain_idx: Optional[int],
+        is_out_domain: bool = False,
+        seed: Optional[int] = None,
+    ):
+        import os
+
+        from ramdsir_tpu.config import PROSTATE_DOMAINS
+
+        self.batch_sizes = list(batch_sizes)
+        self.rng = np.random.default_rng(seed)
+        self._base_seed = seed if seed is not None else 0
+        self._epoch = 0
+        self.is_out_domain = is_out_domain
+        self.train_domains = [
+            d for d in PROSTATE_DOMAINS
+            if test_domain_idx is None or d != PROSTATE_DOMAINS[test_domain_idx]
+        ]
+
+        # one stacked array over every train domain (donor pool == images)
+        imgs, msks = [], []
+        self.domain_offsets = {}
+        for dom in self.train_domains:
+            names = sorted(os.listdir(os.path.join(base_dir, dom, "image")))
+            self.domain_offsets[dom] = (len(imgs), len(names))
+            for n in names:
+                imgs.append(
+                    np.load(os.path.join(base_dir, dom, "image", n)).astype(np.float32)
+                )
+                msks.append(
+                    np.load(os.path.join(base_dir, dom, "mask", n)).astype(np.int32)
+                )
+        self.device_data = {
+            "images": jnp.asarray(np.stack(imgs)),
+            "masks": jnp.asarray(np.stack(msks)),
+        }
+
+        self.ds_domains: List[str] = [
+            PROSTATE_DOMAINS[ds.domain_idx_list[0]] for ds in datasets
+        ]
+        self._sizes = [self.domain_offsets[d][1] for d in self.ds_domains]
+        lens = [n // bs for n, bs in zip(self._sizes, self.batch_sizes)]
+        for i, n in enumerate(lens):
+            if n == 0:
+                raise ValueError(
+                    f"domain {self.ds_domains[i]}: {self._sizes[i]} slices < batch {self.batch_sizes[i]}"
+                )
+        self.steps_per_epoch = max(lens)
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+    def epoch_plan(self) -> Dict[str, np.ndarray]:
+        """(steps_per_epoch, B) img/donor index plans — see
+        DeviceFundusPipeline.epoch_plan for the scheme."""
+        epoch = self._epoch
+        self._epoch += 1
+        spe = self.steps_per_epoch
+        orders = [self.rng.permutation(n) for n in self._sizes]
+        pos = [0] * len(orders)
+        img_plan = np.empty((spe, sum(self.batch_sizes)), np.int32)
+        donor_plan = np.empty_like(img_plan)
+        for s in range(spe):
+            img_idx = []
+            for d, bs in enumerate(self.batch_sizes):
+                if pos[d] + bs > len(orders[d]):
+                    orders[d] = self.rng.permutation(self._sizes[d])
+                    pos[d] = 0
+                rows = orders[d][pos[d] : pos[d] + bs]
+                pos[d] += bs
+                img_idx.extend(self.domain_offsets[self.ds_domains[d]][0] + rows)
+            img_plan[s] = img_idx
+        drng = np.random.default_rng((self._base_seed, epoch))
+        col = 0
+        for d, bs in enumerate(self.batch_sizes):
+            cur = self.ds_domains[d]
+            pool = [
+                dom for dom in self.train_domains
+                if not (self.is_out_domain and dom == cur)
+            ]
+            starts = np.array([self.domain_offsets[p][0] for p in pool])
+            ns = np.array([self.domain_offsets[p][1] for p in pool])
+            dom = drng.integers(0, len(pool), size=(spe, bs))
+            u = drng.random((spe, bs))
+            donor_plan[:, col : col + bs] = starts[dom] + (u * ns[dom]).astype(np.int64)
+            col += bs
+        return {"img_idx": img_plan, "donor_idx": donor_plan}
+
+    def __iter__(self):
+        plan = self.epoch_plan()
+        for s in range(self.steps_per_epoch):
+            yield {k: v[s] for k, v in plan.items()}
+
+
+def gather_prostate(device_data: Dict[str, jax.Array], img_idx, donor_idx):
+    """Inside-jit: indices -> the host loader's batch dict (img/donor float32
+    [-1,1], mask int32).  No augmentation — prostate trains on raw slices
+    (train.py:540-542)."""
+    return {
+        "img": jnp.take(device_data["images"], img_idx, axis=0),
+        "donor": jnp.take(device_data["images"], donor_idx, axis=0),
+        "mask": jnp.take(device_data["masks"], img_idx, axis=0),
+    }

@@ -73,17 +73,21 @@ def build_train_loaders(
                 rng=rng,
             )
         datasets.append(ds)
-    if (
-        cfg.device_data
-        and cfg.dataset == "fundus"
-        and rows is None  # multi-host keeps the host loader (local rows)
-    ):
+    if cfg.device_data and rows is None:  # multi-host keeps the host loader
         # HBM-resident dataset: the host's per-step work is a few dozen
-        # int32 indices; gather/scale-crop/donor/RAM run inside the step.
-        from ramdsir_tpu.data.device_pipeline import DeviceFundusPipeline
+        # int32 indices; gather (+ fundus scale-crop)/donor/RAM run inside
+        # the step.
+        if cfg.dataset == "fundus":
+            from ramdsir_tpu.data.device_pipeline import DeviceFundusPipeline
 
-        return DeviceFundusPipeline(
-            datasets, bsl[: len(datasets)], data_root, cfg.image_size,
+            return DeviceFundusPipeline(
+                datasets, bsl[: len(datasets)], data_root, cfg.image_size,
+                cfg.test_domain_idx, is_out_domain=cfg.is_out_domain, seed=seed,
+            )
+        from ramdsir_tpu.data.device_pipeline import DeviceProstatePipeline
+
+        return DeviceProstatePipeline(
+            datasets, bsl[: len(datasets)], data_root,
             cfg.test_domain_idx, is_out_domain=cfg.is_out_domain, seed=seed,
         )
     keys = ("img", "donor", "mask") if cfg.ram else ("img", "mask")

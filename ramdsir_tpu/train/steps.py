@@ -267,12 +267,15 @@ def make_train_step(
         # `data` (HBM-resident dataset arrays) is a runtime argument, not a
         # closure capture: captured concrete arrays would be baked into the
         # jaxpr as ~100 MB compile-time constants.
-        from ramdsir_tpu.data.device_pipeline import gather_and_augment
+        from ramdsir_tpu.data.device_pipeline import gather_and_augment, gather_prostate
 
         k_aug, key = jax.random.split(key)
-        batch = gather_and_augment(
-            data, idx_row["img_idx"], idx_row["donor_idx"], k_aug, cfg.image_size
-        )
+        if is_fundus:
+            batch = gather_and_augment(
+                data, idx_row["img_idx"], idx_row["donor_idx"], k_aug, cfg.image_size
+            )
+        else:
+            batch = gather_prostate(data, idx_row["img_idx"], idx_row["donor_idx"])
         return _update(state, batch, key)
 
     # donate=True lets XLA update params/opt-state/batch-stats in place

@@ -127,3 +127,76 @@ def test_fit_device_data_smoke(root):
     summary = fit(cfg, max_steps=2)
     assert summary["steps"] == 2
     assert np.isfinite(summary["best"])
+
+
+class TestDeviceProstatePipeline:
+    def _make(self, tmp_path):
+        import os
+
+        from ramdsir_tpu.config import TrainConfig
+        from ramdsir_tpu.data.synthetic import make_prostate_tree
+        from ramdsir_tpu.train.loop import build_train_loaders
+
+        root = str(tmp_path)
+        make_prostate_tree(root, per_domain=4, size=32)
+        cfg = TrainConfig(
+            data_root=root, dataset="prostate", image_size=32, test_domain_idx=5,
+            domain_idxs=(0, 1, 2, 3, 4), save_path=root + "/r", ram=True,
+            rec=True, consistency=True, consistency_type="mse", epochs=1,
+        ).resolve()
+        loader = build_train_loaders(cfg, os.path.join(root, "prostate"), seed=0)
+        return cfg, loader
+
+    def test_plan_ranges_and_gather_matches_numpy(self, tmp_path):
+        import jax.numpy as jnp
+
+        from ramdsir_tpu.data.device_pipeline import (
+            DeviceProstatePipeline,
+            gather_prostate,
+        )
+
+        cfg, loader = self._make(tmp_path)
+        assert isinstance(loader, DeviceProstatePipeline)
+        n = int(loader.device_data["images"].shape[0])
+        plan = loader.epoch_plan()
+        assert plan["img_idx"].shape == (loader.steps_per_epoch, 10)
+        assert plan["img_idx"].min() >= 0 and plan["img_idx"].max() < n
+        assert plan["donor_idx"].min() >= 0 and plan["donor_idx"].max() < n
+        batch = gather_prostate(
+            loader.device_data, jnp.asarray(plan["img_idx"][0]),
+            jnp.asarray(plan["donor_idx"][0]),
+        )
+        import numpy as np
+
+        np.testing.assert_array_equal(
+            np.asarray(batch["img"]),
+            np.asarray(loader.device_data["images"])[plan["img_idx"][0]],
+        )
+        assert batch["mask"].dtype == jnp.int32
+        assert batch["img"].shape == (10, 32, 32, 3)
+
+    def test_out_domain_exclusion(self, tmp_path):
+        cfg, loader = self._make(tmp_path)
+        loader.is_out_domain = True
+        plan = loader.epoch_plan()
+        col = 0
+        for d, bs in zip(loader.ds_domains, loader.batch_sizes):
+            start, cnt = loader.domain_offsets[d]
+            block = plan["donor_idx"][:, col : col + bs]
+            assert not ((block >= start) & (block < start + cnt)).any()
+            col += bs
+
+    def test_fit_scan_on_mesh(self, tmp_path):
+        """prostate fit() on the 8-device CPU mesh: batch 10 zero-padded to
+        16, scan windows, eval — end to end."""
+        from ramdsir_tpu.data.synthetic import make_prostate_volumes
+        from ramdsir_tpu.train.loop import fit
+
+        cfg, loader = self._make(tmp_path)
+        make_prostate_volumes(str(tmp_path), per_domain=1, depth=10, size=32)
+        cfg = cfg.__class__(
+            **{**cfg.__dict__, "scan_window": 2, "test_batch_size": 4, "epochs": 2}
+        )
+        summary = fit(cfg, eval_every=1, max_steps=3)
+        assert summary["steps"] == 3
+        assert "dice" in summary

@@ -1,0 +1,61 @@
+"""DeviceMetricsRing: on-device scalar buffering with batched readback."""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+
+from ramdsir_tpu.utils.logging import DeviceMetricsRing, MetricsWriter
+
+
+def _read_rows(log_dir):
+    rows = {}
+    with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            vals = {k: v for k, v in rec.items() if k.startswith("loss/")}
+            if vals:
+                rows[rec["step"]] = vals
+    return rows
+
+
+def test_scalar_rows_and_flush():
+    d = tempfile.mkdtemp()
+    w = MetricsWriter(d, use_tensorboard=False)
+    ring = DeviceMetricsRing(w, cap=8, log_interval=1)
+    for s in range(5):
+        ring.append(s, {"loss": jnp.float32(s * 1.0), "lr": jnp.float32(0.1)})
+    ring.flush()
+    w.close()
+    rows = _read_rows(d)
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[3]["loss/loss"] == 3.0
+    assert abs(rows[3]["loss/lr"] - 0.1) < 1e-6
+
+
+def test_window_tables_and_autoflush():
+    d = tempfile.mkdtemp()
+    w = MetricsWriter(d, use_tensorboard=False)
+    ring = DeviceMetricsRing(w, cap=6, log_interval=2)
+    # two (W=4) windows: the second overflows cap=6 -> auto-flush first
+    ring.append(0, {"a": jnp.arange(4, dtype=jnp.float32)})
+    ring.append(4, {"a": 10.0 + jnp.arange(4, dtype=jnp.float32)})
+    ring.flush()
+    w.close()
+    rows = _read_rows(d)
+    # log_interval=2 -> even steps only
+    assert sorted(rows) == [0, 2, 4, 6]
+    assert rows[2]["loss/a"] == 2.0
+    assert rows[6]["loss/a"] == 12.0
+
+
+def test_flush_empty_is_noop():
+    d = tempfile.mkdtemp()
+    w = MetricsWriter(d, use_tensorboard=False)
+    ring = DeviceMetricsRing(w, cap=4)
+    ring.flush()
+    w.close()
+    assert _read_rows(d) == {}

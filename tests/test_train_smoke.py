@@ -82,9 +82,11 @@ def test_prostate_ramdsir_step_and_volume_eval(roots):
     ).resolve()
     it = build_train_loaders(cfg, os.path.join(roots, "prostate"), seed=0)
     state, models = init_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(cfg, models, total_iters=10)
+    # device_data default: prostate slices live in HBM, batches are indices
+    dev_data = getattr(it, "device_data", None)
+    step = make_train_step(cfg, models, total_iters=10, device_data=dev_data)
     batch = next(iter(it))
-    state, m, _ = step(state, batch, jax.random.PRNGKey(3))
+    state, m, _ = step(state, batch, jax.random.PRNGKey(3), dev_data)
     assert _metrics_finite(m)
 
     predict = make_predict_fn(cfg, models)
