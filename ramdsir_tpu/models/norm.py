@@ -158,12 +158,21 @@ class DomainSpecificBatchNorm(nn.Module):
         else:
             # stats from REAL rows only (see BatchNorm): padded tail rows are
             # statically sliced out; normalization still covers all rows.
-            xv = xf[:n_valid] if (n_valid is not None and n_valid < b) else xf
+            # Contract the RAW activations (bf16 under mixed precision) with
+            # f32 accumulation: bf16 values are exact in f32 and bf16 x bf16
+            # products fit f32's mantissa, so per-sample sums/sum-of-squares
+            # match f32 math while reading half the bytes of the old
+            # materialize-f32-then-einsum path.
+            xv = x[:n_valid] if (n_valid is not None and n_valid < b) else x
             ov = onehot[: xv.shape[0]]
             cnt = jnp.sum(ov, axis=0) * (h * w)  # pixels per domain
             safe_cnt = jnp.maximum(cnt, 1.0)
-            sum_x = jnp.einsum("bhwc,bd->dc", xv, ov)
-            sum_x2 = jnp.einsum("bhwc,bd->dc", jnp.square(xv), ov)
+            s1_bc = jnp.sum(xv, axis=(1, 2), dtype=jnp.float32)
+            s2_bc = jnp.einsum(
+                "bhwc,bhwc->bc", xv, xv, preferred_element_type=jnp.float32
+            )
+            sum_x = jnp.einsum("bc,bd->dc", s1_bc, ov)
+            sum_x2 = jnp.einsum("bc,bd->dc", s2_bc, ov)
             mean_d = sum_x / safe_cnt[:, None]
             var_d = jnp.maximum(sum_x2 / safe_cnt[:, None] - jnp.square(mean_d), 0.0)
             if not self.is_initializing():
