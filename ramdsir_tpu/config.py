@@ -72,6 +72,9 @@ class TrainConfig:
     ram_use_pallas: bool = False  # fuse the band-mix with a Pallas kernel
     remat: bool = False  # jax.checkpoint the dual forward (memory <-> FLOPs)
     fused_dsbn: bool = True  # one rec-decoder pass with per-sample domains
+    # one vmapped forward over the stacked clean+freq batch (2B conv rows);
+    # per-half BN stats and the sequential running-stat update are preserved
+    fused_dual: bool = True
     prefetch: int = 2  # host->device pipeline depth
     loader: str = "process"  # {process, thread} batch-assembly workers
     num_workers: Optional[int] = None  # loader workers (None = auto)

@@ -130,7 +130,50 @@ def make_train_step(
         def forward(x, stats):
             return forward_impl(params, stats, x)
 
-        _, logits1, stats = forward(img, stats)
+        feats_f_last = None
+        if cfg.ram and cfg.fused_dual:
+            # ONE forward over the stacked (2, B, ...) clean/freq batch:
+            # vmap merges the leading axis into the conv batch, so the convs
+            # see 2B rows (tile efficiency scales strongly with rows on the
+            # MXU/VPU — see BENCH_NOTES batch scaling), while BN reductions
+            # stay per-slice: each half is normalized by ITS OWN batch
+            # statistics, exactly like the reference's two sequential
+            # passes (train.py:263-287).
+            def fwd_one(x):
+                feats, enc_s = _apply_with_stats(
+                    models["encoder"], params["encoder"], stats["encoder"],
+                    x.astype(compute_dtype), train=True, n_valid=n_valid,
+                )
+                logits, seg_s = _apply_with_stats(
+                    models["seg_decoder"], params["seg_decoder"], stats["seg_decoder"],
+                    feats, train=True, n_valid=n_valid,
+                )
+                return feats[-1], logits[:b_real].astype(jnp.float32), enc_s, seg_s
+
+            if cfg.remat:
+                fwd_one = jax.checkpoint(fwd_one)
+            last2, logits12, enc_s2, seg_s2 = jax.vmap(fwd_one)(
+                jnp.stack([img, img_freq])
+            )
+            logits1, logits2 = logits12[0], logits12[1]
+            feats_f_last = last2[1]
+            # Running stats: the reference applies the clean pass's update
+            # and THEN the freq pass's.  Each vmapped half produced
+            # new_i = (1-m)*old + m*b_i; the sequential composition
+            # (1-m)*((1-m)*old + m*b1) + m*b2 equals
+            # (1-m)*new_1 + (new_2 - (1-m)*old) — closed form, no extra
+            # pass.  Momentum is the torch-convention 0.1 (models/norm.py).
+            m_ = 0.1
+
+            def _merge_seq(old, new2):
+                return (1.0 - m_) * new2[0] + (new2[1] - (1.0 - m_) * old)
+
+            stats = dict(stats)
+            for name, new_tree in (("encoder", enc_s2), ("seg_decoder", seg_s2)):
+                if stats.get(name):
+                    stats[name] = jax.tree.map(_merge_seq, stats[name], new_tree)
+        else:
+            _, logits1, stats = forward(img, stats)
         if is_fundus:
             pred1 = jax.nn.sigmoid(logits1)
             loss_sup1 = bce_with_logits_loss(logits1, mask)
@@ -144,7 +187,9 @@ def make_train_step(
         metrics.update(loss_sup_1=loss_sup1, loss_dice_1=loss_dice1)
 
         if cfg.ram:
-            feats_f, logits2, stats = forward(img_freq, stats)
+            if not cfg.fused_dual:
+                feats_f, logits2, stats = forward(img_freq, stats)
+                feats_f_last = feats_f[-1]
             if is_fundus:
                 pred2 = jax.nn.sigmoid(logits2)
                 loss_sup2 = bce_with_logits_loss(logits2, mask)
@@ -181,7 +226,7 @@ def make_train_step(
                     )
                     rec_out, rec_stats = _apply_with_stats(
                         models["rec_decoder"], params["rec_decoder"], rec_stats,
-                        feats_f[-1], train=True, domain=domains, n_valid=n_valid,
+                        feats_f_last, train=True, domain=domains, n_valid=n_valid,
                     )
                     rec_soft_all = jnp.tanh(rec_out.astype(jnp.float32))
                     left = 0
@@ -198,7 +243,7 @@ def make_train_step(
                         right = left + bs
                         rec_out, rec_stats = _apply_with_stats(
                             models["rec_decoder"], params["rec_decoder"], rec_stats,
-                            feats_f[-1][left:right], train=True,
+                            feats_f_last[left:right], train=True,
                             domain=jnp.int32(train_idx),
                         )
                         rec_soft = jnp.tanh(rec_out.astype(jnp.float32))
