@@ -69,7 +69,7 @@ def main_e2e(max_steps: int = 252) -> None:
     )
 
 
-def main() -> None:
+def main(dataset: str = "fundus", batch: int = 0, remat: bool = False) -> None:
     import jax
 
     from ramdsir_tpu.utils.cache import enable_persistent_cache
@@ -79,23 +79,43 @@ def main() -> None:
     from ramdsir_tpu.train.state import init_state
     from ramdsir_tpu.train.steps import make_train_step
 
+    is_fundus = dataset == "fundus"
+    # reference configs: fundus batch 16 @256^2 (train.py:35-38), prostate
+    # batch 10 = 2x5 @384^2 with 5 DSBN domains (train.py:40-45)
     cfg = TrainConfig(
-        dataset="fundus", ram=True, rec=True, consistency=True,
-        consistency_type="kd", image_size=256, domain_idxs=(0, 1, 2),
-        test_domain_idx=0, save_path="/tmp/bench",
-        compute_dtype="bfloat16",
+        dataset=dataset, ram=True, rec=True, consistency=True,
+        consistency_type="kd", save_path="/tmp/bench", compute_dtype="bfloat16",
+        remat=remat,
+        **(
+            dict(image_size=256, domain_idxs=(0, 1, 2), test_domain_idx=0)
+            if is_fundus
+            else dict(image_size=384, domain_idxs=(0, 1, 2, 3, 4), test_domain_idx=5)
+        ),
     ).resolve()
     state, models = init_state(cfg, jax.random.PRNGKey(0))
-    bsl = cfg.batch_size_list  # [3, 6, 7] -> global batch 16
+    bsl = cfg.batch_size_list  # fundus [3,6,7] -> 16; prostate [2]*5 -> 10
+    if batch:  # --batch N: even split across source domains (perf exploration)
+        n_dom = len(cfg.domain_idxs)
+        assert batch % n_dom == 0, f"--batch must divide by {n_dom} domains"
+        bsl = [batch // n_dom] * n_dom
     batch_size = sum(bsl)
     step = make_train_step(cfg, models, total_iters=10_000, batch_size_list=bsl, donate=True)
 
     rng = np.random.default_rng(0)
-    batch = {
-        "img": jax.device_put(rng.uniform(0, 255, (batch_size, 256, 256, 3)).astype(np.float32)),
-        "donor": jax.device_put(rng.uniform(0, 255, (batch_size, 256, 256, 3)).astype(np.float32)),
-        "mask": jax.device_put((rng.uniform(size=(batch_size, 256, 256, 2)) > 0.5).astype(np.float32)),
-    }
+    s = cfg.image_size
+    if is_fundus:
+        batch_np = {
+            "img": rng.uniform(0, 255, (batch_size, s, s, 3)).astype(np.float32),
+            "donor": rng.uniform(0, 255, (batch_size, s, s, 3)).astype(np.float32),
+            "mask": (rng.uniform(size=(batch_size, s, s, 2)) > 0.5).astype(np.float32),
+        }
+    else:
+        batch_np = {
+            "img": rng.uniform(-1, 1, (batch_size, s, s, 3)).astype(np.float32),
+            "donor": rng.uniform(-1, 1, (batch_size, s, s, 3)).astype(np.float32),
+            "mask": rng.integers(0, 2, (batch_size, s, s)).astype(np.int32),
+        }
+    batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
     key = jax.random.PRNGKey(1)
 
@@ -123,10 +143,16 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "fundus RAM-DSIR train throughput (batch 16, 256x256, bf16 compute)",
+                "metric": (
+                    f"{dataset} RAM-DSIR train throughput "
+                    f"(batch {batch_size}, {s}x{s}, bf16 compute"
+                    + (", remat" if remat else "")
+                    + ")"
+                ),
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / REF_2080TI_IMGS_PER_SEC, 3),
+                "ms_per_step": round(dt * 1000, 2),
             }
         )
     )
@@ -135,7 +161,18 @@ def main() -> None:
 if __name__ == "__main__":
     import sys
 
-    if "--e2e" in sys.argv:
+    argv = sys.argv[1:]
+
+    def _opt(name, default=0):
+        return int(argv[argv.index(name) + 1]) if name in argv else default
+
+    if "--e2e" in argv:
         main_e2e()
     else:
-        main()
+        main(
+            dataset="prostate" if "--dataset=prostate" in argv or
+            ("--dataset" in argv and argv[argv.index("--dataset") + 1] == "prostate")
+            else "fundus",
+            batch=_opt("--batch"),
+            remat="--remat" in argv,
+        )

@@ -82,8 +82,10 @@ class TrainConfig:
     # the jitted step; host sends int32 indices only (fundus; ~92 MB u8)
     device_data: bool = True
     # lax.scan window: W train steps per XLA dispatch when the device
-    # pipeline is active (None = auto: min(steps_per_epoch, 32); 1 = one
-    # dispatch per step, required for --trace_dir's per-step windows).
+    # pipeline is active (None = auto: the largest divisor of
+    # steps_per_epoch <= 32, else min(steps_per_epoch, 32) — divisors keep
+    # one compiled program shape per run; 1 = one dispatch per step,
+    # required for --trace_dir's per-step windows).
     # Metrics stay per-step (the window returns a stacked table); TB image
     # grids log the window's LAST step when the cadence lands inside one.
     scan_window: Optional[int] = None

@@ -294,8 +294,12 @@ class DeviceProstatePipeline:
                 imgs.append(
                     np.load(os.path.join(base_dir, dom, "image", n)).astype(np.float32)
                 )
+                # labels are tiny ints (0/1/2) — uint8 in HBM, widened to
+                # int32 inside gather_prostate; the float image stack is the
+                # real footprint (N*H*W*3*4 bytes replicated per device,
+                # ~1.7 MB per 384^2 slice)
                 msks.append(
-                    np.load(os.path.join(base_dir, dom, "mask", n)).astype(np.int32)
+                    np.load(os.path.join(base_dir, dom, "mask", n)).astype(np.uint8)
                 )
         self.device_data = {
             "images": jnp.asarray(np.stack(imgs)),
@@ -366,5 +370,5 @@ def gather_prostate(device_data: Dict[str, jax.Array], img_idx, donor_idx):
     return {
         "img": jnp.take(device_data["images"], img_idx, axis=0),
         "donor": jnp.take(device_data["images"], donor_idx, axis=0),
-        "mask": jnp.take(device_data["masks"], img_idx, axis=0),
+        "mask": jnp.take(device_data["masks"], img_idx, axis=0).astype(jnp.int32),
     }

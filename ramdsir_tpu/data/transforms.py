@@ -269,31 +269,64 @@ class Solarize:
 
 
 class CutOut:
-    """p=0.5 random rectangular erase on image; mask set to 255 (ignored)
-    inside the hole (transform.py:235-277 semantics)."""
+    """p=0.5 random rectangular erase; mask set to 255 (ignored) inside the
+    hole (transform.py:235-277, parameter-exact).
 
-    def __init__(self, size_range=(0.02, 0.4), rng: Optional[np.random.Generator] = None):
-        self.size_range = size_range
+    Matches the reference's quirks: the (size, ratio, x, y) draw uses
+    REJECTION sampling (redraw everything until the box fits — boxes near
+    the far border are therefore less likely than direct valid-offset
+    sampling would make them), and the hole is filled with per-pixel
+    U(value_min, value_max) noise when pixel_level (default), else one
+    scalar draw."""
+
+    def __init__(
+        self,
+        p: float = 0.5,
+        size_min: float = 0.02,
+        size_max: float = 0.4,
+        ratio_1: float = 0.3,
+        ratio_2: float = 1 / 0.3,
+        value_min: float = 0,
+        value_max: float = 255,
+        pixel_level: bool = True,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.p = p
+        self.size_min, self.size_max = size_min, size_max
+        self.ratio_1, self.ratio_2 = ratio_1, ratio_2
+        self.value_min, self.value_max = value_min, value_max
+        self.pixel_level = pixel_level
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, sample: Sample) -> Sample:
-        if self.rng.random() >= 0.5:
+        if self.rng.random() >= self.p:
             return sample
         img = np.array(sample["img"])
         mask = np.array(sample["mask"])
         h, w = img.shape[:2]
-        area = h * w * self.rng.uniform(*self.size_range)
-        ratio = self.rng.uniform(0.3, 1 / 0.3)
-        ch = int(round(np.sqrt(area * ratio)))
-        cw = int(round(np.sqrt(area / ratio)))
-        ch, cw = min(ch, h - 1), min(cw, w - 1)
-        y = int(self.rng.integers(0, h - ch))
-        x = int(self.rng.integers(0, w - cw))
-        img[y : y + ch, x : x + cw] = 0
-        mask[y : y + ch, x : x + cw] = 255
+        c = img.shape[2] if img.ndim == 3 else 1
+        while True:  # rejection loop (transform.py:255-263)
+            size = self.rng.uniform(self.size_min, self.size_max) * h * w
+            ratio = self.rng.uniform(self.ratio_1, self.ratio_2)
+            erase_w = int(np.sqrt(size / ratio))
+            erase_h = int(np.sqrt(size * ratio))
+            x = int(self.rng.integers(0, w))
+            y = int(self.rng.integers(0, h))
+            if x + erase_w <= w and y + erase_h <= h:
+                break
+        if self.pixel_level:
+            value = self.rng.uniform(
+                self.value_min, self.value_max, (erase_h, erase_w, c)
+            )
+            if img.ndim == 2:
+                value = value[..., 0]
+        else:
+            value = self.rng.uniform(self.value_min, self.value_max)
+        img[y : y + erase_h, x : x + erase_w] = value
+        mask[y : y + erase_h, x : x + erase_w] = 255
         out = dict(sample)
-        out["img"] = Image.fromarray(img)
-        out["mask"] = Image.fromarray(mask)
+        out["img"] = Image.fromarray(img.astype(np.uint8))
+        out["mask"] = Image.fromarray(mask.astype(np.uint8))
         return out
 
 
@@ -318,11 +351,11 @@ class GetPair:
         return out
 
 
-def image_in_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Up to 5 uniform-noise interior blocks (transform.py:439-454, exact):
-    each iteration continues with p=0.95; block side ~ randint(S//6, S//3)
-    inclusive, offset ~ randint(3, S-side-3) inclusive; the SAME (h, w)
-    noise plane (x255) fills every channel.  Takes/returns HWC uint8."""
+def _in_painting(img: np.ndarray, rng: np.random.Generator, fill) -> np.ndarray:
+    """Shared in-painting core: up to 5 interior blocks, each iteration
+    continues with p=0.95; block side ~ randint(S//6, S//3) inclusive,
+    offset ~ randint(3, S-side-3) inclusive.  `fill(bx, by)` supplies the
+    block contents.  Takes/returns HWC uint8."""
     out = np.array(img, copy=True)
     rows, cols = out.shape[:2]
     cnt = 5
@@ -331,20 +364,51 @@ def image_in_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         by = int(rng.integers(cols // 6, cols // 3 + 1))
         x = int(rng.integers(3, rows - bx - 3 + 1))
         y = int(rng.integers(3, cols - by - 3 + 1))
-        noise = (rng.random((bx, by)) * 255).astype(out.dtype)
-        out[x : x + bx, y : y + by] = noise[..., None] if out.ndim == 3 else noise
+        val = fill(bx, by)
+        if isinstance(val, np.ndarray) and out.ndim == 3:
+            val = val[..., None]
+        out[x : x + bx, y : y + by] = val
         cnt -= 1
     return out
 
 
-def image_out_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Replace everything by per-channel uniform noise, then restore 1 + up
-    to 4 original blocks (transform.py:490-520, exact): block side =
+def image_in_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Uniform-noise blocks (transform.py:439-454, exact): the SAME (h, w)
+    noise plane (x255) fills every channel."""
+    dtype = np.asarray(img).dtype
+    return _in_painting(
+        img, rng, lambda bx, by: (rng.random((bx, by)) * 255).astype(dtype)
+    )
+
+
+def image_in_painting_constant(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Blocks filled with constant 255 (transform.py:456-470, exact).
+    Dead code in the reference (GetPair never selects it); kept for API
+    completeness."""
+    return _in_painting(img, rng, lambda bx, by: 255)
+
+
+def image_in_painting_rand_constant(
+    img: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """Blocks filled with one 255*U(0,1) constant drawn PER BLOCK
+    (transform.py:472-488, exact).  Dead code in the reference."""
+    dtype = np.asarray(img).dtype
+    return _in_painting(
+        img,
+        rng,
+        lambda bx, by: (np.ones((bx, by)) * 255 * rng.random()).astype(dtype),
+    )
+
+
+def _out_painting(img: np.ndarray, rng: np.random.Generator, canvas) -> np.ndarray:
+    """Shared out-painting core: replace everything with `canvas(shape)`,
+    then restore 1 + up to 4 original blocks; block side =
     S - randint(3S//7, 4S//7) inclusive, offset ~ randint(3, S-side-3);
     each extra restore continues with p=0.95.  Takes/returns HWC uint8."""
     src = np.array(img, copy=True)
     rows, cols = src.shape[:2]
-    out = (rng.random(src.shape) * 255).astype(src.dtype)
+    out = canvas(src.shape).astype(src.dtype)
 
     def restore():
         bx = rows - int(rng.integers(3 * rows // 7, 4 * rows // 7 + 1))
@@ -359,6 +423,27 @@ def image_out_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         restore()
         cnt -= 1
     return out
+
+
+def image_out_painting(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Per-channel uniform-noise canvas (transform.py:490-520, exact)."""
+    return _out_painting(img, rng, lambda shape: rng.random(shape) * 255)
+
+
+def image_out_painting_constant(
+    img: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """All-255 canvas (transform.py:522-550, exact).  Dead code in the
+    reference; kept for API completeness."""
+    return _out_painting(img, rng, lambda shape: np.ones(shape) * 255)
+
+
+def image_out_painting_rand_constant(
+    img: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """One 255*U(0,1) constant canvas (transform.py:552-580, exact).  Dead
+    code in the reference."""
+    return _out_painting(img, rng, lambda shape: np.ones(shape) * 255 * rng.random())
 
 
 def get_boundary(mask: np.ndarray, width: int = 2) -> np.ndarray:

@@ -25,12 +25,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# torch nn.BatchNorm2d convention: new = (1-m)*old + m*batch.  Single source
+# of truth — train/steps.py's fused-dual running-stat merge composes two
+# sequential updates in closed form and must use the SAME momentum.
+BN_MOMENTUM = 0.1
+
 
 class BatchNorm(nn.Module):
     """BatchNorm over NHWC with torch nn.BatchNorm2d semantics."""
 
     features: int
-    momentum: float = 0.1  # torch convention
+    momentum: float = BN_MOMENTUM
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
 
@@ -90,7 +95,7 @@ class DomainSpecificBatchNorm(nn.Module):
 
     features: int
     num_domains: int
-    momentum: float = 0.1
+    momentum: float = BN_MOMENTUM
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
 

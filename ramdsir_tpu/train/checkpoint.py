@@ -64,19 +64,22 @@ class BestKeeper:
         self.best: float = 0.0
         self._best_path: Optional[str] = None
         os.makedirs(save_dir, exist_ok=True)
-        # resume awareness: adopt an existing best file if present
-        existing = sorted(glob.glob(os.path.join(save_dir, "model_*.ckpt")))
-        if existing:
+        # resume awareness: adopt an existing best file if present (numeric
+        # sort on the embedded score — lexicographic would rank 9.50 > 12.00)
+        scored = []
+        for p in glob.glob(os.path.join(save_dir, "model_*.ckpt")):
             try:
-                self._best_path = existing[-1]
-                self.best = float(os.path.basename(existing[-1])[6:-5])
+                scored.append((float(os.path.basename(p)[6:-5]), p))
             except ValueError:
                 pass
+        if scored:
+            self.best, self._best_path = max(scored)
 
     def update(self, score: float, state: TrainState, meta: Optional[Dict] = None) -> bool:
-        # strict improvement only, like the reference (train.py:337-350):
-        # equal scores keep the existing checkpoint instead of rewriting it
-        if score <= self.best:
+        # reference train.py:337 replaces on `avg_dice >= previous_best`:
+        # ties REWRITE the best file with the newer model, and the first
+        # eval always saves (previous_best starts 0.0).  PARITY.md #8.
+        if score < self.best:
             return False
         if self._best_path and os.path.exists(self._best_path):
             os.remove(self._best_path)

@@ -162,8 +162,8 @@ def make_train_step(
             # new_i = (1-m)*old + m*b_i; the sequential composition
             # (1-m)*((1-m)*old + m*b1) + m*b2 equals
             # (1-m)*new_1 + (new_2 - (1-m)*old) — closed form, no extra
-            # pass.  Momentum is the torch-convention 0.1 (models/norm.py).
-            m_ = 0.1
+            # pass.  Momentum MUST match the norms' (models/norm.py).
+            from ramdsir_tpu.models.norm import BN_MOMENTUM as m_
 
             def _merge_seq(old, new2):
                 return (1.0 - m_) * new2[0] + (new2[1] - (1.0 - m_) * old)

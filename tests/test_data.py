@@ -263,6 +263,63 @@ def test_get_pair_exact_laws():
     assert np.any(np.array(out["img_aug"]) != base)
 
 
+def test_painting_constant_variants():
+    """The 4 dead-code `_constant`/`_rand_constant` variants
+    (reference transform.py:456-489, :521-580)."""
+    from ramdsir_tpu.data.transforms import (
+        image_in_painting_constant,
+        image_in_painting_rand_constant,
+        image_out_painting_constant,
+        image_out_painting_rand_constant,
+    )
+
+    base = (np.arange(96 * 96 * 3).reshape(96, 96, 3) % 200).astype(np.uint8)
+
+    inp = image_in_painting_constant(base, np.random.default_rng(3))
+    diff = np.any(inp != base, axis=-1)
+    assert diff.sum() > 0
+    assert (inp[diff] == 255).all()  # blocks are constant 255
+
+    inp = image_in_painting_rand_constant(base, np.random.default_rng(4))
+    diff = np.any(inp != base, axis=-1)
+    assert diff.sum() > 0
+    # each block is ONE constant: few distinct fill values overall
+    assert len(np.unique(inp[diff])) <= 10
+
+    outp = image_out_painting_constant(base, np.random.default_rng(5))
+    changed = np.any(outp != base, axis=-1)
+    assert changed.sum() > 0 and (outp[changed] == 255).all()
+
+    outp = image_out_painting_rand_constant(base, np.random.default_rng(6))
+    changed = np.any(outp != base, axis=-1)
+    assert changed.sum() > 0 and len(np.unique(outp[changed])) == 1
+
+
+def test_cutout_reference_semantics():
+    """CutOut parity quirks (reference transform.py:235-277): per-pixel
+    U(0,255) noise fill (NOT zeros), mask hole = 255, box fits via
+    rejection sampling."""
+    from PIL import Image
+
+    from ramdsir_tpu.data.transforms import CutOut
+
+    base = np.full((64, 64, 3), 7, dtype=np.uint8)
+    mask = np.zeros((64, 64), dtype=np.uint8)
+    sample = {"img": Image.fromarray(base), "mask": Image.fromarray(mask)}
+    out = CutOut(p=1.0, rng=np.random.default_rng(0))(sample)
+    img2 = np.array(out["img"])
+    mask2 = np.array(out["mask"])
+    hole = mask2 == 255
+    assert hole.sum() > 0
+    assert (mask2[~hole] == 0).all()
+    # pixel-level noise: many distinct values inside the hole, untouched outside
+    assert len(np.unique(img2[hole])) > 10
+    assert (img2[~hole] == 7).all()
+    # the hole is one solid rectangle
+    ys, xs = np.where(hole)
+    assert hole.sum() == (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1)
+
+
 def test_fused_loader_deterministic_across_runs(data_root):
     """Counter-based per-sample RNG: two loaders with the same seed yield
     identical batches (donor choice + crops), regardless of worker count."""
