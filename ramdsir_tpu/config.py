@@ -75,6 +75,11 @@ class TrainConfig:
     # one vmapped forward over the stacked clean+freq batch (2B conv rows);
     # per-half BN stats and the sequential running-stat update are preserved
     fused_dual: bool = True
+    # run the top N U-Net levels (16/32-channel maps) in the exact 2x2
+    # space-to-depth domain: 4x lane occupancy / ~4x less padded HBM
+    # traffic on the stage that caps the step (models/s2d.py; numerics
+    # pinned equal to 0 in tests/test_s2d.py).  0 disables.
+    s2d_levels: int = 2
     prefetch: int = 2  # host->device pipeline depth
     loader: str = "process"  # {process, thread} batch-assembly workers
     num_workers: Optional[int] = None  # loader workers (None = auto)

@@ -32,12 +32,20 @@ BN_MOMENTUM = 0.1
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm over NHWC with torch nn.BatchNorm2d semantics."""
+    """BatchNorm over NHWC with torch nn.BatchNorm2d semantics.
+
+    s2d=True: the input is the 2x2 space-to-depth packing of the logical
+    map (last dim = 4*features, c-major — models/s2d.py).  Statistics
+    contract the extra 4 positions into their C channel (a free (...,C,4)
+    reshape), so stats, running stats, and affine params stay (C,) and the
+    numerics equal the pixel-domain norm exactly.
+    """
 
     features: int
     momentum: float = BN_MOMENTUM
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(
@@ -61,7 +69,11 @@ class BatchNorm(nn.Module):
             # the unpadded batch exactly.  n_valid is a Python int -> no
             # dynamic shapes; XLA still reduces globally across shards.
             xs = xf[:n_valid] if (n_valid is not None and n_valid < x.shape[0]) else xf
-            axes = tuple(range(x.ndim - 1))
+            if self.s2d:
+                xs = xs.reshape(*xs.shape[:-1], self.features, 4)
+                axes = tuple(i for i in range(xs.ndim) if i != xs.ndim - 2)
+            else:
+                axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xs, axis=axes)
             mean2 = jnp.mean(jnp.square(xs), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
@@ -79,8 +91,14 @@ class BatchNorm(nn.Module):
         # (bf16 read, f32 accumulate) without materializing an f32 map.
         dt = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.eps)
-        y = (x.astype(dt) - mean.astype(dt)) * inv.astype(dt)
-        y = y * scale.astype(dt) + bias.astype(dt)
+        mean_c, inv_c, scale_c, bias_c = mean, inv, scale, bias
+        if self.s2d:
+            from ramdsir_tpu.models.s2d import repeat4
+
+            mean_c, inv_c = repeat4(mean), repeat4(inv)
+            scale_c, bias_c = repeat4(scale), repeat4(bias)
+        y = (x.astype(dt) - mean_c.astype(dt)) * inv_c.astype(dt)
+        y = y * scale_c.astype(dt) + bias_c.astype(dt)
         return y
 
 
@@ -98,6 +116,7 @@ class DomainSpecificBatchNorm(nn.Module):
     momentum: float = BN_MOMENTUM
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False  # input is the 2x2 packing (last dim 4*features)
 
     @nn.compact
     def __call__(
@@ -132,7 +151,11 @@ class DomainSpecificBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             xs = xf[:n_valid] if (n_valid is not None and n_valid < x.shape[0]) else xf
-            axes = tuple(range(x.ndim - 1))
+            if self.s2d:
+                xs = xs.reshape(*xs.shape[:-1], self.features, 4)
+                axes = tuple(i for i in range(xs.ndim) if i != xs.ndim - 2)
+            else:
+                axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xs, axis=axes)
             mean2 = jnp.mean(jnp.square(xs), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
@@ -147,15 +170,23 @@ class DomainSpecificBatchNorm(nn.Module):
 
         dt = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.eps)
+        scale_d = jnp.take(scale, d, axis=0)
+        bias_d = jnp.take(bias, d, axis=0)
+        if self.s2d:
+            from ramdsir_tpu.models.s2d import repeat4
+
+            mean, inv = repeat4(mean), repeat4(inv)
+            scale_d, bias_d = repeat4(scale_d), repeat4(bias_d)
         y = (x.astype(dt) - mean.astype(dt)) * inv.astype(dt)
-        y = y * jnp.take(scale, d, axis=0).astype(dt) + jnp.take(bias, d, axis=0).astype(dt)
+        y = y * scale_d.astype(dt) + bias_d.astype(dt)
         return y
 
     def _segment_bn(
         self, x, domain, scale, bias, ra_mean, ra_var, use_running_average, n_valid=None
     ):
         xf = x.astype(jnp.float32)
-        b, h, w, c = xf.shape
+        b, h, w, _ = xf.shape
+        k = 4 if self.s2d else 1  # packed positions folded into each C
         onehot = jax.nn.one_hot(domain, self.num_domains, dtype=jnp.float32)  # (B, D)
 
         if use_running_average:
@@ -169,13 +200,21 @@ class DomainSpecificBatchNorm(nn.Module):
             # match f32 math while reading half the bytes of the old
             # materialize-f32-then-einsum path.
             xv = x[:n_valid] if (n_valid is not None and n_valid < b) else x
+            if self.s2d:
+                xv = xv.reshape(*xv.shape[:-1], self.features, 4)
             ov = onehot[: xv.shape[0]]
-            cnt = jnp.sum(ov, axis=0) * (h * w)  # pixels per domain
+            cnt = jnp.sum(ov, axis=0) * (h * w * k)  # pixels per domain
             safe_cnt = jnp.maximum(cnt, 1.0)
-            s1_bc = jnp.sum(xv, axis=(1, 2), dtype=jnp.float32)
-            s2_bc = jnp.einsum(
-                "bhwc,bhwc->bc", xv, xv, preferred_element_type=jnp.float32
-            )
+            if self.s2d:
+                s1_bc = jnp.sum(xv, axis=(1, 2, 4), dtype=jnp.float32)
+                s2_bc = jnp.einsum(
+                    "bhwcp,bhwcp->bc", xv, xv, preferred_element_type=jnp.float32
+                )
+            else:
+                s1_bc = jnp.sum(xv, axis=(1, 2), dtype=jnp.float32)
+                s2_bc = jnp.einsum(
+                    "bhwc,bhwc->bc", xv, xv, preferred_element_type=jnp.float32
+                )
             sum_x = jnp.einsum("bc,bd->dc", s1_bc, ov)
             sum_x2 = jnp.einsum("bc,bd->dc", s2_bc, ov)
             mean_d = sum_x / safe_cnt[:, None]
@@ -198,6 +237,11 @@ class DomainSpecificBatchNorm(nn.Module):
         scale_b = onehot @ scale
         bias_b = onehot @ bias
         inv_b = jax.lax.rsqrt(var_b + self.eps)
+        if self.s2d:
+            from ramdsir_tpu.models.s2d import repeat4
+
+            mean_b, inv_b = repeat4(mean_b), repeat4(inv_b)
+            scale_b, bias_b = repeat4(scale_b), repeat4(bias_b)
         y = (x.astype(dt) - mean_b.astype(dt)[:, None, None, :]) * inv_b.astype(dt)[:, None, None, :]
         y = y * scale_b.astype(dt)[:, None, None, :] + bias_b.astype(dt)[:, None, None, :]
         return y
@@ -228,6 +272,7 @@ class Norm(nn.Module):
     features: int
     norm: str = "bn"
     num_domains: Optional[int] = None
+    s2d: bool = False  # input is 2x2-packed (models/s2d.py); bn/dsbn only
 
     @nn.compact
     def __call__(
@@ -239,17 +284,19 @@ class Norm(nn.Module):
         n_valid: Optional[int] = None,
     ) -> jax.Array:
         if self.norm == "bn":
-            return BatchNorm(self.features)(
+            return BatchNorm(self.features, s2d=self.s2d)(
                 x, use_running_average=not train, n_valid=n_valid
             )
+        if self.norm == "dsbn":
+            if domain is None:
+                raise ValueError("dsbn requires a domain index")
+            return DomainSpecificBatchNorm(self.features, self.num_domains, s2d=self.s2d)(
+                x, domain, use_running_average=not train, n_valid=n_valid
+            )
+        if self.s2d:
+            raise ValueError(f"s2d packing supports bn/dsbn norms, not {self.norm!r}")
         if self.norm == "gn":
             return nn.GroupNorm(num_groups=1, epsilon=1e-5)(x)
         if self.norm == "in":
             return InstanceNorm(self.features)(x)
-        if self.norm == "dsbn":
-            if domain is None:
-                raise ValueError("dsbn requires a domain index")
-            return DomainSpecificBatchNorm(self.features, self.num_domains)(
-                x, domain, use_running_average=not train, n_valid=n_valid
-            )
         raise ValueError(f"Normalization type {self.norm} is not supported")

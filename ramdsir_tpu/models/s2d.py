@@ -1,0 +1,192 @@
+"""Space-to-depth (2x2 block) domain for the low-channel top U-Net stages.
+
+Why: the reference topology's top levels are 16/32-channel maps at full
+resolution (networks/unet.py:248-271 — n=16 at 256^2, 2n at 128^2).  TPU
+arrays tile the minor dimension onto 128 lanes, so a 16-channel bf16 map
+runs every elementwise pass, BN reduce, and conv at 16/128 lane occupancy
+and pays ~8x padded HBM traffic — measured as the throughput cap of the
+whole train step (BENCH_NOTES.md trace breakdown).
+
+Fix: represent a (B, H, W, C) map as its exact 2x2 space-to-depth packing
+(B, H/2, W/2, 4C) and run the stage's convs/norms/resizes directly in that
+domain.  Every op here is EXACTLY equivalent (to fp reassociation) to its
+pixel-domain counterpart — pinned in tests/test_s2d.py:
+
+  * channel layout is c-major: packed channel = c*4 + (py*2 + px), so
+    channel-concat of packed maps == packing of the channel-concat (the
+    ConvU skip concat needs this), and per-C statistics are a free
+    (..., C, 4) reshape;
+  * a KxK stride-1 SAME conv becomes a 3x3 (K=3) / 1x1 (K=1) conv on
+    blocks whose (3,3,4Ci,4Co) kernel is a fixed sparse re-layout of the
+    original (K,K,Ci,Co) weights (built by one gather per step, so the
+    stored parameter tree is IDENTICAL to the plain path and checkpoints
+    interchange);
+  * 2x2 maxpool collapses to a max over the 4 block positions (no spatial
+    op at all);
+  * bilinear 2x upsample (half-pixel, torch align_corners=False ==
+    jax.image.resize 'bilinear') from a pixel-domain map lands DIRECTLY in
+    the packed domain of the doubled map via a separable 0.75/0.25 stencil.
+
+The 3x3 block conv runs 4x the MACs of the pixel conv (the re-laid-out
+kernel is 25% dense and the MXU does not skip zeros) but at 4x the output
+lane occupancy — MXU time is a wash while HBM traffic drops ~4x, which is
+what the top stages are bound by.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def pack(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), c-major block layout."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (b, hb, wb, c, py, px)
+    return x.reshape(b, h // 2, w // 2, c * 4)
+
+
+def unpack(x: jax.Array) -> jax.Array:
+    """(B, Hb, Wb, 4C) -> (B, 2Hb, 2Wb, C)."""
+    b, hb, wb, c4 = x.shape
+    x = x.reshape(b, hb, wb, c4 // 4, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, hb, py, wb, px, c)
+    return x.reshape(b, hb * 2, wb * 2, c4 // 4)
+
+
+def pool2x2(xp: jax.Array) -> jax.Array:
+    """2x2/stride-2 maxpool of the represented map, from its packing:
+    max over the 4 block positions.  Returns the POOLED map in pixel
+    domain at block resolution (B, Hb, Wb, C)."""
+    b, hb, wb, c4 = xp.shape
+    return xp.reshape(b, hb, wb, c4 // 4, 4).max(-1)
+
+
+@lru_cache(maxsize=None)
+def _upsample_kernel_np(c: int):
+    """(3, 3, C, 4C) constant kernel: bilinear 2x upsample written straight
+    into the packed layout.  Output channel c*4 + (py*2+px) at block (i,j)
+    is out pixel (2i+py, 2j+px) = sum over the 3x3 input neighbourhood with
+    separable weights wy[py] x wx[px], wy[0] = [.25, .75, 0] (prev row),
+    wy[1] = [0, .75, .25] (next row)."""
+    w1 = np.array([[0.25, 0.75, 0.0], [0.0, 0.75, 0.25]], np.float32)
+    k = np.zeros((3, 3, c, 4 * c), np.float32)
+    eye = np.eye(c, dtype=np.float32)
+    for py in range(2):
+        for px in range(2):
+            k[:, :, :, py * 2 + px :: 4] = (
+                w1[py][:, None, None, None] * w1[px][None, :, None, None] * eye
+            )
+    return k
+
+
+def upsample2x_into(x: jax.Array) -> jax.Array:
+    """Bilinear 2x upsample of a PIXEL-domain map, produced directly in
+    the packed domain of the doubled map: (B, h, w, C) -> (B, h, w, 4C).
+
+    Half-pixel convention: out[2i] = .75*in[i] + .25*in[i-1] and
+    out[2i+1] = .75*in[i] + .25*in[i+1] per axis, edges clamped — equal to
+    jax.image.resize(..., 'bilinear') / torch align_corners=False
+    (renormalized edge weights == clamping), pinned in tests/test_s2d.py.
+
+    Implemented as ONE constant-kernel conv over an edge-replicated input
+    (clamp == replicate-pad + VALID): a shift/stack formulation lowers to
+    6-D interleave transposes that cost more device time than the whole
+    stage (measured: ~7 ms/step of data formatting at 256^2); the conv
+    form rides the MXU and fuses into the surrounding graph.  (A zero-pad
+    SAME conv with .at[].add border corrections was tried and measured
+    ~11 ms/step SLOWER — the scatter-adds break XLA's fusion around the
+    conv.)
+    """
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    k = jnp.asarray(_upsample_kernel_np(c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@lru_cache(maxsize=None)
+def _kernel_index_map(kh: int, kw: int):
+    """Gather map (bkh, bkw, 4q, 4p) into the flattened (kh*kw + 1)-slot
+    source (last slot = zero): block-kernel tap (bd, q->p) pulls original
+    tap (dy, dx) = (2*bd_y + q_y - p_y, 2*bd_x + q_x - p_x) when in range.
+    """
+    if kh not in (1, 3) or kw not in (1, 3):
+        raise ValueError(f"s2d conv supports 1x1/3x3 kernels, got {kh}x{kw}")
+    r_h, r_w = kh // 2, kw // 2
+    bk_h, bk_w = (3 if kh == 3 else 1), (3 if kw == 3 else 1)
+    idx = np.full((bk_h, bk_w, 4, 4), kh * kw, dtype=np.int32)
+    for bdy in range(-(bk_h // 2), bk_h // 2 + 1):
+        for bdx in range(-(bk_w // 2), bk_w // 2 + 1):
+            for qy in range(2):
+                for qx in range(2):
+                    for py in range(2):
+                        for px in range(2):
+                            dy = 2 * bdy + qy - py
+                            dx = 2 * bdx + qx - px
+                            if abs(dy) <= r_h and abs(dx) <= r_w:
+                                idx[bdy + bk_h // 2, bdx + bk_w // 2,
+                                    qy * 2 + qx, py * 2 + px] = (dy + r_h) * kw + (dx + r_w)
+    return idx
+
+
+def block_kernel(w: jax.Array) -> jax.Array:
+    """(kh, kw, Ci, Co) pixel-domain HWIO kernel -> its exact block-domain
+    (bkh, bkw, 4Ci, 4Co) re-layout (c-major on both sides)."""
+    kh, kw, ci, co = w.shape
+    idx = jnp.asarray(_kernel_index_map(kh, kw))
+    flat = jnp.concatenate(
+        [w.reshape(kh * kw, ci, co), jnp.zeros((1, ci, co), w.dtype)], axis=0
+    )
+    g = flat[idx]                      # (bkh, bkw, 4q, 4p, ci, co)
+    g = g.transpose(0, 1, 4, 2, 5, 3)  # (bkh, bkw, ci, 4q, co, 4p)
+    return g.reshape(g.shape[0], g.shape[1], ci * 4, co * 4)
+
+
+def repeat4(v: jax.Array) -> jax.Array:
+    """Per-C vector -> per-packed-channel (c-major): [a,b] -> [a,a,a,a,b,b,b,b]."""
+    return jnp.repeat(v, 4, axis=-1)
+
+
+class S2DConv(nn.Module):
+    """Conv on packed maps, parameter-compatible with the plain nn.Conv it
+    replaces: stores the ORIGINAL (K, K, Ci, Co) kernel + (Co,) bias under
+    the same names ('kernel'/'bias'), re-laid-out per call by one gather.
+    Same param path + init fns => bit-identical initialization and
+    checkpoint interchange with the pixel-domain module."""
+
+    features: int
+    kernel: int
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self, xp: jax.Array) -> jax.Array:
+        ci = xp.shape[-1] // 4
+        w = self.param(
+            "kernel", self.kernel_init,
+            (self.kernel, self.kernel, ci, self.features), jnp.float32,
+        )
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        wp = block_kernel(w.astype(xp.dtype))
+        if self.kernel == 1:
+            # 1x1 conv == per-position channel matmul on the (4Ci -> 4Co)
+            # block-diagonal re-layout.  dot_general instead of a conv op:
+            # XLA's conv layout assignment wraps 1x1 convs in batch-minor
+            # copies (measured ~2 ms/step of data formatting); a plain
+            # contraction over the minor dim needs none.
+            y = jax.lax.dot_general(
+                xp, wp[0, 0], (((xp.ndim - 1,), (0,)), ((), ()))
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                xp, wp, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return y + repeat4(b.astype(y.dtype))

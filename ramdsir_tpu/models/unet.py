@@ -81,7 +81,29 @@ def _act(name: str):
 class _Base(nn.Module):
     """Shared conv helper so every layer gets torch-parity init."""
 
-    def conv(self, x, features: int, kernel: int, name: str, activation: str = "relu"):
+    def conv(
+        self,
+        x,
+        features: int,
+        kernel: int,
+        name: str,
+        activation: str = "relu",
+        s2d: bool = False,
+    ):
+        """s2d=True: x is a 2x2 space-to-depth packed map (models/s2d.py);
+        the conv runs in the packed domain with the SAME stored parameters
+        (original kernel shape + init), exactly equivalent numerics."""
+        if s2d:
+            from ramdsir_tpu.models.s2d import S2DConv
+
+            fan_in = (x.shape[-1] // 4) * kernel * kernel
+            return S2DConv(
+                features,
+                kernel,
+                kernel_init=kaiming_normal_fanout(activation),
+                bias_init=torch_conv_bias_init(fan_in),
+                name=name,
+            )(x)
         fan_in = x.shape[-1] * kernel * kernel
         return nn.Conv(
             features,
@@ -99,37 +121,58 @@ class _Base(nn.Module):
 
 
 class ConvD(_Base):
+    """Down-stage.  s2d: run the convs/norms in the 2x2 packed domain and
+    return the PACKED stage output; s2d_in: the input arrives packed (from
+    a previous s2d stage), so the 2x2 maxpool collapses to a max over the
+    4 block positions (models/s2d.py — exact equivalence)."""
+
     planes: int
     norm: str = "bn"
     first: bool = False
     activation: str = "relu"
+    s2d: bool = False
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, *, train: bool = True, n_valid: Optional[int] = None
     ) -> jax.Array:
+        from ramdsir_tpu.models import s2d as s2d_ops
+
         act = _act(self.activation)
         if not self.first:
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = s2d_ops.pool2x2(x) if self.s2d_in else nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.s2d:
+            x = s2d_ops.pack(x)
+        kw = dict(train=train, n_valid=n_valid)
         # layer 1: conv, norm (no activation — reference unet.py:58-60)
-        x = self.conv(x, self.planes, 3, "conv1", self.activation)
-        x = Norm(self.planes, self.norm, name="bn1")(x, train=train, n_valid=n_valid)
+        x = self.conv(x, self.planes, 3, "conv1", self.activation, s2d=self.s2d)
+        x = Norm(self.planes, self.norm, s2d=self.s2d, name="bn1")(x, **kw)
         # layer 2: conv, norm, act
-        y = self.conv(x, self.planes, 3, "conv2", self.activation)
-        y = Norm(self.planes, self.norm, name="bn2")(y, train=train, n_valid=n_valid)
+        y = self.conv(x, self.planes, 3, "conv2", self.activation, s2d=self.s2d)
+        y = Norm(self.planes, self.norm, s2d=self.s2d, name="bn2")(y, **kw)
         y = act(y)
         # layer 3: conv, norm, act
-        z = self.conv(y, self.planes, 3, "conv3", self.activation)
-        z = Norm(self.planes, self.norm, name="bn3")(z, train=train, n_valid=n_valid)
+        z = self.conv(y, self.planes, 3, "conv3", self.activation, s2d=self.s2d)
+        z = Norm(self.planes, self.norm, s2d=self.s2d, name="bn3")(z, **kw)
         z = act(z)
         return z
 
 
 class ConvU(_Base):
+    """Up-stage.  s2d: the post-upsample half of the block (1x1 conv,
+    skip-concat, 3x3 conv) runs in the 2x2 packed domain — the bilinear 2x
+    upsample writes DIRECTLY into the packing of the doubled map
+    (s2d.upsample2x_into) and `prev` must arrive packed (c-major layout
+    makes the channel concat equal the packing of the pixel concat).
+    s2d_in: the stage input x is packed too, so conv1 runs packed."""
+
     planes: int
     norm: str = "bn"
     first: bool = False
     activation: str = "relu"
+    s2d: bool = False
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(
@@ -140,30 +183,41 @@ class ConvU(_Base):
         train: bool = True,
         n_valid: Optional[int] = None,
     ) -> jax.Array:
+        from ramdsir_tpu.models import s2d as s2d_ops
+
         act = _act(self.activation)
+        kw = dict(train=train, n_valid=n_valid)
         if not self.first:
-            x = self.conv(x, self.planes, 3, "conv1", self.activation)
-            x = Norm(self.planes, self.norm, name="bn1")(x, train=train, n_valid=n_valid)
+            x = self.conv(x, self.planes, 3, "conv1", self.activation, s2d=self.s2d_in)
+            x = Norm(self.planes, self.norm, s2d=self.s2d_in, name="bn1")(x, **kw)
             x = act(x)
-        y = upsample2x(x)
-        y = self.conv(y, self.planes // 2, 1, "conv2", self.activation)
-        y = Norm(self.planes // 2, self.norm, name="bn2")(y, train=train, n_valid=n_valid)
+        if self.s2d_in:
+            x = s2d_ops.unpack(x)
+        y = s2d_ops.upsample2x_into(x) if self.s2d else upsample2x(x)
+        y = self.conv(y, self.planes // 2, 1, "conv2", self.activation, s2d=self.s2d)
+        y = Norm(self.planes // 2, self.norm, s2d=self.s2d, name="bn2")(y, **kw)
         y = act(y)
-        # channel-concat: skip first (reference torch.cat([prev, y], 1))
+        # channel-concat: skip first (reference torch.cat([prev, y], 1));
+        # in c-major packed layout this equals packing the pixel concat
         y = jnp.concatenate([prev, y], axis=-1)
-        y = self.conv(y, self.planes, 3, "conv3", self.activation)
-        y = Norm(self.planes, self.norm, name="bn3")(y, train=train, n_valid=n_valid)
+        y = self.conv(y, self.planes, 3, "conv3", self.activation, s2d=self.s2d)
+        y = Norm(self.planes, self.norm, s2d=self.s2d, name="bn3")(y, **kw)
         y = act(y)
         return y
 
 
 class ConvURec(_Base):
-    """Skip-free up-stage with optional DSBN routing (unet.py:120-165)."""
+    """Skip-free up-stage with optional DSBN routing (unet.py:120-165).
+
+    s2d/s2d_in: same packed-domain contract as ConvU (DSBN segment stats
+    contract the 4 block positions into their channel — models/norm.py)."""
 
     planes: int
     norm: str = "bn"
     activation: str = "relu"
     num_domains: Optional[int] = None
+    s2d: bool = False
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(
@@ -174,44 +228,56 @@ class ConvURec(_Base):
         train: bool = True,
         n_valid: Optional[int] = None,
     ) -> jax.Array:
+        from ramdsir_tpu.models import s2d as s2d_ops
+
         act = _act(self.activation)
         half = self.planes // 2
-        x = self.conv(x, half, 3, "conv1", self.activation)
-        x = Norm(half, self.norm, self.num_domains, name="bn1")(
-            x, train=train, domain=domain, n_valid=n_valid
-        )
+        kw = dict(train=train, domain=domain, n_valid=n_valid)
+        x = self.conv(x, half, 3, "conv1", self.activation, s2d=self.s2d_in)
+        x = Norm(half, self.norm, self.num_domains, s2d=self.s2d_in, name="bn1")(x, **kw)
         x = act(x)
-        y = upsample2x(x)
-        y = self.conv(y, half, 1, "conv2", self.activation)
-        y = Norm(half, self.norm, self.num_domains, name="bn2")(
-            y, train=train, domain=domain, n_valid=n_valid
-        )
+        if self.s2d_in:
+            x = s2d_ops.unpack(x)
+        y = s2d_ops.upsample2x_into(x) if self.s2d else upsample2x(x)
+        y = self.conv(y, half, 1, "conv2", self.activation, s2d=self.s2d)
+        y = Norm(half, self.norm, self.num_domains, s2d=self.s2d, name="bn2")(y, **kw)
         y = act(y)
-        y = self.conv(y, half, 3, "conv3", self.activation)
-        y = Norm(half, self.norm, self.num_domains, name="bn3")(
-            y, train=train, domain=domain, n_valid=n_valid
-        )
+        y = self.conv(y, half, 3, "conv3", self.activation, s2d=self.s2d)
+        y = Norm(half, self.norm, self.num_domains, s2d=self.s2d, name="bn3")(y, **kw)
         y = act(y)
         return y
 
 
 class Encoder(_Base):
-    """5-stage encoder, channels c -> n,2n,4n,8n,16n (unet.py:248-271)."""
+    """5-stage encoder, channels c -> n,2n,4n,8n,16n (unet.py:248-271).
+
+    s2d_levels: how many TOP (highest-resolution, lowest-channel) stages
+    run in the 2x2 space-to-depth domain (0, 1 or 2).  The returned
+    feature maps for those stages are PACKED (c-major, models/s2d.py) —
+    Decoder must be built with the same s2d_levels.  Numerics are exactly
+    equivalent to s2d_levels=0 (tests/test_s2d.py); the packing lifts the
+    16/32-channel maps to 64/128 channels so TPU lane occupancy and HBM
+    tile padding stop capping the top stages (BENCH_NOTES.md)."""
 
     c: int = 3
     n: int = 16
     norm: str = "bn"
     activation: str = "relu"
+    s2d_levels: int = 0
 
     @nn.compact
     def __call__(
         self, x: jax.Array, *, train: bool = True, n_valid: Optional[int] = None
     ) -> List[jax.Array]:
         n = self.n
+        s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
         kw = dict(train=train, n_valid=n_valid)
-        x1 = ConvD(n, self.norm, first=True, activation=self.activation, name="convd1")(x, **kw)
-        x2 = ConvD(2 * n, self.norm, activation=self.activation, name="convd2")(x1, **kw)
-        x3 = ConvD(4 * n, self.norm, activation=self.activation, name="convd3")(x2, **kw)
+        x1 = ConvD(n, self.norm, first=True, activation=self.activation,
+                   s2d=s1, name="convd1")(x, **kw)
+        x2 = ConvD(2 * n, self.norm, activation=self.activation,
+                   s2d=s2, s2d_in=s1, name="convd2")(x1, **kw)
+        x3 = ConvD(4 * n, self.norm, activation=self.activation,
+                   s2d_in=s2, name="convd3")(x2, **kw)
         x4 = ConvD(8 * n, self.norm, activation=self.activation, name="convd4")(x3, **kw)
         x5 = ConvD(16 * n, self.norm, activation=self.activation, name="convd5")(x4, **kw)
         return [x1, x2, x3, x4, x5]
@@ -224,6 +290,7 @@ class Decoder(_Base):
     num_classes: int = 2
     norm: str = "bn"
     activation: str = "relu"
+    s2d_levels: int = 0  # must match the Encoder's (skips arrive packed)
 
     @nn.compact
     def __call__(
@@ -233,15 +300,21 @@ class Decoder(_Base):
         train: bool = True,
         n_valid: Optional[int] = None,
     ) -> jax.Array:
+        from ramdsir_tpu.models import s2d as s2d_ops
+
         n = self.n
+        s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
         kw = dict(train=train, n_valid=n_valid)
         y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation, name="convu4")(
             feats[-1], feats[-2], **kw
         )
         y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], **kw)
-        y2 = ConvU(4 * n, self.norm, activation=self.activation, name="convu2")(y3, feats[-4], **kw)
-        y1 = ConvU(2 * n, self.norm, activation=self.activation, name="convu1")(y2, feats[-5], **kw)
-        return self.conv(y1, self.num_classes, 3, "out1", self.activation)
+        y2 = ConvU(4 * n, self.norm, activation=self.activation,
+                   s2d=s2, name="convu2")(y3, feats[-4], **kw)
+        y1 = ConvU(2 * n, self.norm, activation=self.activation,
+                   s2d=s1, s2d_in=s2, name="convu1")(y2, feats[-5], **kw)
+        out = self.conv(y1, self.num_classes, 3, "out1", self.activation, s2d=s1)
+        return s2d_ops.unpack(out) if s1 else out
 
 
 class RecDecoder(_Base):
@@ -252,6 +325,7 @@ class RecDecoder(_Base):
     norm: str = "dsbn"
     activation: str = "relu"
     num_domains: Optional[int] = None
+    s2d_levels: int = 0
 
     @nn.compact
     def __call__(
@@ -262,13 +336,19 @@ class RecDecoder(_Base):
         train: bool = True,
         n_valid: Optional[int] = None,
     ) -> jax.Array:
+        from ramdsir_tpu.models import s2d as s2d_ops
+
         n = self.n
+        s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
         kw = dict(domain=domain, train=train, n_valid=n_valid)
         y4 = ConvURec(16 * n, self.norm, self.activation, self.num_domains, name="convu4")(x, **kw)
         y3 = ConvURec(8 * n, self.norm, self.activation, self.num_domains, name="convu3")(y4, **kw)
-        y2 = ConvURec(4 * n, self.norm, self.activation, self.num_domains, name="convu2")(y3, **kw)
-        y1 = ConvURec(2 * n, self.norm, self.activation, self.num_domains, name="convu1")(y2, **kw)
-        return self.conv(y1, self.num_classes, 3, "out1", self.activation)
+        y2 = ConvURec(4 * n, self.norm, self.activation, self.num_domains,
+                      s2d=s2, name="convu2")(y3, **kw)
+        y1 = ConvURec(2 * n, self.norm, self.activation, self.num_domains,
+                      s2d=s1, s2d_in=s2, name="convu1")(y2, **kw)
+        out = self.conv(y1, self.num_classes, 3, "out1", self.activation, s2d=s1)
+        return s2d_ops.unpack(out) if s1 else out
 
 
 class Unet2D(_Base):

@@ -28,10 +28,14 @@ class TrainState:
 
 def build_models(cfg: TrainConfig) -> Dict[str, Any]:
     """Encoder/Decoder/RecDecoder instances (train.py:568-572)."""
+    s2d = cfg.s2d_levels if cfg.norm in ("bn", "dsbn") else 0
     models = {
-        "encoder": Encoder(c=cfg.in_channels, norm=cfg.norm, activation=cfg.activation),
+        "encoder": Encoder(
+            c=cfg.in_channels, norm=cfg.norm, activation=cfg.activation, s2d_levels=s2d
+        ),
         "seg_decoder": Decoder(
-            num_classes=cfg.num_classes, norm=cfg.norm, activation=cfg.activation
+            num_classes=cfg.num_classes, norm=cfg.norm, activation=cfg.activation,
+            s2d_levels=s2d,
         ),
     }
     if cfg.rec:
@@ -40,6 +44,7 @@ def build_models(cfg: TrainConfig) -> Dict[str, Any]:
             norm="dsbn",
             activation=cfg.activation,
             num_domains=cfg.num_domains,
+            s2d_levels=s2d,
         )
     return models
 
