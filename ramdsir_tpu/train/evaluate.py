@@ -71,6 +71,12 @@ def eval_fundus(
     loader = DataLoader(testset, batch_size=batch_size, shuffle=False, drop_last=False)
 
     res = FundusEvalResult()
+    # Dispatch EVERY batch before any readback, then pull all probability
+    # maps in ONE stacked device_get: on relay-tunneled devices a d2h sync
+    # costs ~3.3 s regardless of size, so per-batch np.asarray turns a
+    # 10-batch eval into ~33 s of pure latency.  Async dispatch also lets
+    # batch k+1 compute while k is still in flight.
+    pending = []  # (n_real, host_batch, device_probs)
     for batch in loader:
         imgs = batch["img"]
         n = imgs.shape[0]
@@ -82,9 +88,17 @@ def eval_fundus(
             # (test_fundus_slice.py:100-110).  One extra compile per tail size.
             pad = np.zeros((batch_size - n,) + imgs.shape[1:], imgs.dtype)
             imgs = np.concatenate([imgs, pad], axis=0)
-            probs = np.asarray(predict(state, imgs, n_valid=n))[:n]
+            pending.append((n, batch, predict(state, imgs, n_valid=n)))
         else:
-            probs = np.asarray(predict(state, imgs))[:n]  # (B, S, S, 2)
+            pending.append((n, batch, predict(state, imgs)))
+    if not pending:
+        return res
+    import jax
+    import jax.numpy as jnp
+
+    stacked = np.asarray(jax.device_get(jnp.stack([p for _, _, p in pending])))
+    for (n, batch, _), probs_full in zip(pending, stacked):
+        probs = probs_full[:n]  # (n, S, S, 2)
         for i in range(probs.shape[0]):
             target = batch["mask_orig"][i]  # (H, W, 2) original size
             th, tw = target.shape[0], target.shape[1]
@@ -141,16 +155,28 @@ def predict_volume(
     mask: np.ndarray,
     batch_size: int = 8,
 ) -> np.ndarray:
-    """3-slice sliding-window prediction over a (D, H, W) volume."""
+    """3-slice sliding-window prediction over a (D, H, W) volume.
+
+    All window batches are dispatched before any readback and the
+    probability maps come back in ONE stacked device_get (a d2h sync costs
+    ~3.3 s on relay-tunneled devices regardless of payload)."""
     depth, h, w = image.shape
     pred_y = np.zeros(mask.shape)
     frame_list = list(range(1, depth - 1))
+    dispatched = []  # (frames, device_probs)
     for ii in range(depth // batch_size):
         frames = frame_list[ii * batch_size : (ii + 1) * batch_size]
         vol = np.zeros((batch_size, h, w, 3), np.float32)
         for idx, jj in enumerate(frames):
             vol[idx] = image[jj - 1 : jj + 2].transpose(1, 2, 0)
-        probs = np.asarray(predict(state, vol))  # (B, H, W, C)
+        dispatched.append((frames, predict(state, vol)))
+    if not dispatched:
+        return pred_y
+    import jax
+    import jax.numpy as jnp
+
+    stacked = np.asarray(jax.device_get(jnp.stack([p for _, p in dispatched])))
+    for (frames, _), probs in zip(dispatched, stacked):
         labels = probs.argmax(-1)
         for idx, jj in enumerate(frames):
             if mask[jj].sum() == 0:  # empty-GT slices zeroed (quirk kept)

@@ -241,9 +241,16 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     # d2h pull costs ~3.3 s of wall time REGARDLESS of size): steps/windows
     # append their scalars into an on-device ring; the host pulls the whole
     # ring in one transfer every `cap` steps / at eval / at the end.
-    from ramdsir_tpu.utils.logging import DeviceMetricsRing
+    from ramdsir_tpu.utils.logging import DeviceMetricsRing, DeviceVizRing
 
     ring = DeviceMetricsRing(writer, log_interval=cfg.log_interval)
+    # Image grids park on device and ride the eval-boundary sync home in
+    # one transfer — an eager np.asarray(viz) here costs a ~3.3 s d2h
+    # round-trip per 100 steps on this relay (~40% of the step budget).
+    vizring = DeviceVizRing()
+
+    def _flush_viz():
+        vizring.flush(lambda viz, s: _log_viz(writer, viz, s, cfg))
 
     def run_scan_epoch(state, pbar):
         nonlocal step, done
@@ -296,7 +303,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             if cfg.log_images_every and any(
                 (step + i) % cfg.log_images_every == 0 for i in range(w)
             ):
-                _log_viz(writer, viz, step + w - 1, cfg)
+                vizring.append(step + w - 1, viz)
             step += w
             pos += w
             if max_steps is not None and step >= max_steps:
@@ -337,7 +344,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                 if step % cfg.log_interval == 0:
                     ring.append(step, metrics)  # pulled when the ring fills
                 if cfg.log_images_every and step % cfg.log_images_every == 0:
-                    _log_viz(writer, viz, step, cfg)  # reference train.py:306-329
+                    vizring.append(step, viz)  # reference train.py:306-329
                 pbar.update(1)
                 if timer.items_per_sec:
                     pbar.set_postfix_str(f"{timer.items_per_sec:.0f} img/s", refresh=False)
@@ -354,6 +361,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                 int(jax.device_get(state.step))
                 timer.mark()  # close the throughput window at completed work
                 ring.flush()  # scalars reach TB before the eval row does
+                _flush_viz()  # parked image grids ride the same boundary
                 if cfg.dataset == "fundus":
                     res = eval_fundus(
                         predict, state, cfg.data_root, cfg.test_domain_idx,
@@ -392,6 +400,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     int(jax.device_get(state.step))  # real sync (see eval-block note)
     timer.mark()  # include the in-flight tail steps' execution time
     ring.flush()
+    _flush_viz()
     final_path = keeper.save_final(state, meta={"steps": step})
     writer.close()
     summary.update(

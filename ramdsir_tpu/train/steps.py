@@ -54,6 +54,7 @@ def make_train_step(
     device_data: Optional[Dict[str, jax.Array]] = None,
     donate: bool = False,
     scan: bool = False,
+    debug_grads: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -264,16 +265,21 @@ def make_train_step(
         metrics["loss"] = loss
         # Small viz sample (reference logs grids of batch[0:9:4] every 100
         # iters, train.py:306-329).  Slicing inside jit keeps the transfer
-        # tiny; host pulls these only when it actually logs images.
-        viz = {
-            "image": img[0:9:4],
-            "pred": pred1[0:9:4],
-            "mask": mask[0:9:4],
-        }
-        if cfg.ram:
-            viz["image_freq"] = img_freq[0:9:4]
-            if cfg.rec and rec_samples:
-                viz["image_rec"] = jnp.concatenate(rec_samples, axis=0)[0:3]
+        # tiny; host pulls these only when it actually logs images.  With
+        # image logging disabled the slices are skipped entirely — as step
+        # OUTPUTS they would be materialized every step (~1.3 ms/step of
+        # f32 formatting, measured).
+        viz = {}
+        if cfg.log_images_every:
+            viz = {
+                "image": img[0:9:4],
+                "pred": pred1[0:9:4],
+                "mask": mask[0:9:4],
+            }
+            if cfg.ram:
+                viz["image_freq"] = img_freq[0:9:4]
+                if cfg.rec and rec_samples:
+                    viz["image_rec"] = jnp.concatenate(rec_samples, axis=0)[0:3]
         return loss, (stats, metrics, viz)
 
     group_factor = {"encoder": 0.5 if cfg.rec else 1.0}
@@ -286,6 +292,9 @@ def make_train_step(
         (_, (new_stats, metrics, viz)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, key
         )
+        if debug_grads:
+            # raw gradients for oracle tests (tests/test_torch_step_parity.py)
+            metrics = dict(metrics, _grads=grads)
         updates, new_opt_state = opt.update(grads, state.opt_state)
         # poly LR (train.py:289-296); first step uses the base LR like the
         # reference (its schedule is applied post-step).

@@ -162,3 +162,55 @@ class DeviceMetricsRing:
                     dict(zip(self.names, row)), s, prefix=self.prefix
                 )
         self.steps.clear()
+
+
+class DeviceVizRing:
+    """Deferred-readback buffer for the TB image grids.
+
+    The reference logs image grids every 100 iters (code/train.py:306-329).
+    Pulling the grid arrays eagerly costs a full d2h round-trip (~3.3 s on
+    this relay) every 100 steps — ~40% of the step budget at round-2 rates.
+    Instead each logging step FLATTENS its viz dict into one f32 vector on
+    device (cheap concat; no transfer) and parks the jax array; at eval
+    boundaries — where training already pays a real sync — all parked
+    grids come back in ONE stacked device_get and are written to TB with
+    their original step tags.  Same images, same tags, batched in time.
+    """
+
+    def __init__(self, cap: int = 32):
+        self._slots: list = []  # (step, flat f32 device array)
+        self._meta = None  # (keys, shapes) of the viz tree, fixed per run
+
+    def append(self, step: int, viz: dict) -> None:
+        import jax.numpy as jnp
+
+        keys = sorted(viz)
+        if self._meta is None:
+            self._meta = (keys, [tuple(viz[k].shape) for k in keys])
+        flat = jnp.concatenate([viz[k].astype(jnp.float32).ravel() for k in keys])
+        if len(self._slots) >= 32:
+            # pathological config (tiny log_images_every, rare evals):
+            # keep the most recent grids rather than growing HBM unboundedly
+            self._slots.pop(0)
+        self._slots.append((step, flat))
+
+    def flush(self, log_fn) -> None:
+        """ONE pull for every parked grid; log_fn(viz_dict, step) per grid."""
+        if not self._slots:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        stacked = np.asarray(
+            jax.device_get(jnp.stack([f for _, f in self._slots]))
+        )
+        keys, shapes = self._meta
+        sizes = [int(np.prod(s)) for s in shapes]
+        offs = np.cumsum([0] + sizes)
+        for (step, _), row in zip(self._slots, stacked):
+            viz = {
+                k: row[offs[i] : offs[i + 1]].reshape(shapes[i])
+                for i, k in enumerate(keys)
+            }
+            log_fn(viz, step)
+        self._slots.clear()

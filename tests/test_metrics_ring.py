@@ -59,3 +59,41 @@ def test_flush_empty_is_noop():
     ring.flush()
     w.close()
     assert _read_rows(d) == {}
+
+
+def test_viz_ring_defers_and_preserves_grids():
+    """DeviceVizRing: grids parked on device come back bit-exact with
+    their original step tags in one batched pull."""
+    from ramdsir_tpu.utils.logging import DeviceVizRing
+
+    ring = DeviceVizRing()
+    rng = np.random.default_rng(0)
+    sent = {}
+    for s in (100, 200, 300):
+        viz = {
+            "image": jnp.asarray(rng.normal(size=(3, 8, 8, 3)).astype(np.float32)),
+            "pred": jnp.asarray(rng.uniform(size=(3, 8, 8, 2)).astype(np.float32)),
+        }
+        sent[s] = {k: np.asarray(v) for k, v in viz.items()}
+        ring.append(s, viz)
+
+    got = {}
+    ring.flush(lambda viz, s: got.__setitem__(s, viz))
+    assert sorted(got) == [100, 200, 300]
+    for s in got:
+        for k in ("image", "pred"):
+            np.testing.assert_array_equal(got[s][k], sent[s][k])
+    # second flush is a no-op
+    ring.flush(lambda viz, s: (_ for _ in ()).throw(AssertionError))
+
+
+def test_viz_ring_caps_slots():
+    from ramdsir_tpu.utils.logging import DeviceVizRing
+
+    ring = DeviceVizRing()
+    for s in range(40):
+        ring.append(s, {"image": jnp.zeros((1, 2, 2, 3)) + s})
+    got = []
+    ring.flush(lambda viz, s: got.append((s, float(viz["image"][0, 0, 0, 0]))))
+    assert len(got) == 32  # oldest dropped
+    assert got[0] == (8, 8.0) and got[-1] == (39, 39.0)

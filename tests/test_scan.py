@@ -80,8 +80,25 @@ def test_scan_matches_sequential_steps(tree):
         state_scan.params,
         state_seq.params,
     )
+    # log_images_every=0: viz slices are skipped entirely (they would be
+    # materialized as step outputs every step — train/steps.py)
+    assert viz == {}
+
+
+def test_scan_viz_enabled_carries_last_step(tree):
+    cfg = _cfg(tree, log_images_every=100)
+    loader = build_train_loaders(cfg, os.path.join(tree, "fundus"), seed=0)
+    dev_data = loader.device_data
+    rng = jax.random.PRNGKey(0)
+    state0, models = init_state(cfg, rng)
+    plan = loader.epoch_plan()
+    window = {k: v[:2] for k, v in plan.items()}
+    scan_fn = make_train_step(
+        cfg, models, total_iters=50, device_data=dev_data, scan=True
+    )
+    _, _, viz = scan_fn(state0, window, rng, dev_data)
     # viz carries the LAST step's sample grids
-    assert viz["image"].shape[0] >= 1
+    assert viz["image"].shape[0] >= 1 and "pred" in viz and "image_freq" in viz
 
 
 def test_scan_requires_device_data(tree):
