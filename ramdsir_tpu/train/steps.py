@@ -132,14 +132,47 @@ def make_train_step(
             return forward_impl(params, stats, x)
 
         feats_f_last = None
-        if cfg.ram and cfg.fused_dual:
-            # ONE forward over the stacked (2, B, ...) clean/freq batch:
-            # vmap merges the leading axis into the conv batch, so the convs
-            # see 2B rows (tile efficiency scales strongly with rows on the
-            # MXU/VPU — see BENCH_NOTES batch scaling), while BN reductions
-            # stay per-slice: each half is normalized by ITS OWN batch
-            # statistics, exactly like the reference's two sequential
-            # passes (train.py:263-287).
+        if cfg.ram and cfg.fused_dual and cfg.norm == "bn":
+            # ONE forward over the FLAT [clean; freq] concat (2B rows on the
+            # plain batch axis): convs see 2B rows with no extra leading
+            # dim, while BatchNorm(dual=True) computes per-half statistics
+            # and composes the two sequential running-stat updates
+            # internally (models/norm.py) — numerics identical to the
+            # reference's two consecutive passes (train.py:263-287).  The
+            # earlier vmapped formulation computed the same thing but its
+            # (2, B, ...) intermediates forced relayout copies at every
+            # conv boundary (~2 ms/step traced); the flat concat's
+            # (2B,)<->(2,B,) reshapes are layout-free.
+            half = img.shape[0]
+            enc_d = models["encoder"].clone(dual=True)
+            dec_d = models["seg_decoder"].clone(dual=True)
+
+            def fwd_flat(x2, st):
+                feats, enc_s = _apply_with_stats(
+                    enc_d, params["encoder"], st["encoder"],
+                    x2, train=True, n_valid=n_valid,
+                )
+                logits, seg_s = _apply_with_stats(
+                    dec_d, params["seg_decoder"], st["seg_decoder"],
+                    feats, train=True, n_valid=n_valid,
+                )
+                return feats[-1], logits.astype(jnp.float32), enc_s, seg_s
+
+            if cfg.remat:
+                fwd_flat = jax.checkpoint(fwd_flat)
+            x2 = jnp.concatenate([img, img_freq], axis=0).astype(compute_dtype)
+            last, logits_all, enc_s, seg_s = fwd_flat(x2, stats)
+            logits1 = logits_all[:b_real]
+            logits2 = logits_all[half : half + b_real]
+            feats_f_last = last[half:]
+            stats = dict(stats)
+            stats["encoder"], stats["seg_decoder"] = enc_s, seg_s
+        elif cfg.ram and cfg.fused_dual:
+            # vmapped fallback for non-BN norms: ONE forward over the
+            # stacked (2, B, ...) clean/freq batch — conv batch merges the
+            # leading axis so convs still see 2B rows, and per-slice
+            # normalizer reductions stay per-half, exactly like the
+            # reference's two sequential passes (train.py:263-287).
             def fwd_one(x):
                 feats, enc_s = _apply_with_stats(
                     models["encoder"], params["encoder"], stats["encoder"],
@@ -230,14 +263,25 @@ def make_train_step(
                         feats_f_last, train=True, domain=domains, n_valid=n_valid,
                     )
                     rec_soft_all = jnp.tanh(rec_out.astype(jnp.float32))
+                    # Per-domain mean MSE without materializing per-domain
+                    # slices (each slice cost a real copy on TPU — ~1 ms/step
+                    # traced): ONE fused squared-error row-reduce, then a
+                    # static (D, B) segment matmul whose weights bake in the
+                    # per-domain 1/(bs*H*W*C) normalizer.  Same math as the
+                    # reference's per-domain MSELoss loop (train.py:263-276).
+                    diff2 = jnp.square(rec_soft_all[:b_real] - img[:b_real])
+                    per_row = jnp.sum(diff2, axis=(1, 2, 3))  # (b_real,)
+                    seg = np.zeros((len(bsl), b_real), np.float32)
                     left = 0
                     for train_idx, bs in enumerate(bsl):
-                        right = left + bs
+                        seg[train_idx, left : left + bs] = 1.0 / (
+                            bs * float(np.prod(diff2.shape[1:]))
+                        )
                         rec_samples.append(rec_soft_all[left : left + 1])
-                        loss_rec = mse_loss(rec_soft_all[left:right], img[left:right])
-                        loss = loss + lambda_rec * loss_rec
-                        avg_rec = avg_rec + loss_rec
-                        left = right
+                        left += bs
+                    loss_rec_d = jnp.asarray(seg) @ per_row  # (D,)
+                    loss = loss + lambda_rec * jnp.sum(loss_rec_d)
+                    avg_rec = jnp.sum(loss_rec_d)
                 else:
                     left = 0
                     for train_idx, bs in enumerate(bsl):
