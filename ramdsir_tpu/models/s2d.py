@@ -172,6 +172,116 @@ def repeat4(v: jax.Array) -> jax.Array:
     return jnp.repeat(v, 4, axis=-1)
 
 
+@lru_cache(maxsize=None)
+def _upsample_stencil_np():
+    """(3, 3, 4) separable bilinear stencil: tap weight for packed output
+    position q = py*2+px (same geometry as _upsample_kernel_np, without
+    the identity channel factor)."""
+    w1 = np.array([[0.25, 0.75, 0.0], [0.0, 0.75, 0.25]], np.float32)
+    k = np.zeros((3, 3, 4), np.float32)
+    for py in range(2):
+        for px in range(2):
+            k[:, :, py * 2 + px] = w1[py][:, None] * w1[px][None, :]
+    return k
+
+
+@lru_cache(maxsize=None)
+def _down_kernel_index_map():
+    """(4, 4, 4) gather map into the flattened 3x3 (+zero slot) source for
+    the stride-2 fused pack-conv: stride-2 tap (a, b) for output position
+    q = qy*2+qx pulls original tap (dy, dx) = (a-1-qy, b-1-qx) when in
+    [-1,1] (zero otherwise)."""
+    idx = np.full((4, 4, 4), 9, dtype=np.int32)
+    for a in range(4):
+        for b in range(4):
+            for qy in range(2):
+                for qx in range(2):
+                    dy, dx = a - 1 - qy, b - 1 - qx
+                    if abs(dy) <= 1 and abs(dx) <= 1:
+                        idx[a, b, qy * 2 + qx] = (dy + 1) * 3 + (dx + 1)
+    return idx
+
+
+def down_kernel(w: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) pixel-domain kernel -> (4, 4, Ci, 4Co) stride-2
+    kernel computing pack(conv3x3_SAME(x)) in ONE conv: output block
+    (i, j) position q = out pixel (2i+qy, 2j+qx) = the 3x3 stencil over
+    input pixels 2i+qy+dy — a stride-2 window of height 4 with padding
+    (1, 1), zero-padded at the borders exactly like the SAME conv."""
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"down_kernel supports 3x3 kernels, got {kh}x{kw}")
+    idx = jnp.asarray(_down_kernel_index_map())
+    flat = jnp.concatenate(
+        [w.reshape(9, ci, co), jnp.zeros((1, ci, co), w.dtype)], axis=0
+    )
+    g = flat[idx]                      # (4, 4, 4q, ci, co)
+    g = g.transpose(0, 1, 3, 4, 2)     # (4, 4, ci, co, 4q)
+    return g.reshape(4, 4, ci, co * 4)  # c-major: channel co*4 + q
+
+
+class S2DConvDown(nn.Module):
+    """Fused pack + 3x3 SAME conv for a stage ENTRY: pixel-domain input
+    (B, H, W, Ci) -> packed stage map (B, H/2, W/2, 4Co) in one stride-2
+    conv (see down_kernel).  vs pack-then-block-conv: no 6-D pack
+    transpose, and 16*Ci*4Co MACs/block instead of 9*4Ci*4Co (44%).
+    Stores the ORIGINAL (3, 3, Ci, Co) kernel + (Co,) bias under the same
+    names/inits as the plain nn.Conv => bit-identical initialization and
+    checkpoint interchange."""
+
+    features: int
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        w = self.param(
+            "kernel", self.kernel_init, (3, 3, ci, self.features), jnp.float32
+        )
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        wp = down_kernel(w.astype(x.dtype))
+        y = jax.lax.conv_general_dilated(
+            x, wp, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + repeat4(b.astype(y.dtype))
+
+
+class S2DUpConv(nn.Module):
+    """Fused bilinear-2x-upsample + 1x1 conv, straight into the packed
+    domain: (B, h, w, Ci) pixel input -> (B, h, w, 4Co) packing of the
+    doubled-then-1x1-projected map.  The upsample is linear and the
+    border mask depends only on (i, j, q), so it commutes with the per-q
+    channel mixing of the 1x1: conv2(mask * up(x)) == mask * conv(x,
+    stencil (x) W2) + bias — ONE SAME conv instead of upsample-conv +
+    separate 1x1 (which cost its own activation round-trip).  Stores the
+    ORIGINAL (1, 1, Ci, Co) kernel + (Co,) bias (same names/inits as the
+    module it replaces => checkpoints interchange)."""
+
+    features: int
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        w = self.param(
+            "kernel", self.kernel_init, (1, 1, ci, self.features), jnp.float32
+        )
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        sten = jnp.asarray(_upsample_stencil_np()).astype(x.dtype)  # (3,3,4)
+        wc = w[0, 0].astype(x.dtype)  # (Ci, Co)
+        k = sten[:, :, None, None, :] * wc[None, None, :, :, None]
+        k = k.reshape(3, 3, ci, 4 * self.features)  # c-major: co*4 + q
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        _, h, w_, _ = x.shape
+        y = y * jnp.asarray(_border_mask_np(h, w_, self.features)).astype(y.dtype)
+        return y + repeat4(b.astype(y.dtype))
+
+
 class S2DConv(nn.Module):
     """Conv on packed maps, parameter-compatible with the plain nn.Conv it
     replaces: stores the ORIGINAL (K, K, Ci, Co) kernel + (Co,) bias under

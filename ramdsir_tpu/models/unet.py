@@ -119,6 +119,33 @@ class _Base(nn.Module):
             name=name,
         )(x)
 
+    def downconv(self, x, features: int, name: str, activation: str = "relu"):
+        """Fused pack + 3x3 SAME stage-entry conv: pixel-domain x ->
+        packed stage map in ONE stride-2 conv (s2d.S2DConvDown); params
+        identical to the plain 3x3 conv it replaces."""
+        from ramdsir_tpu.models.s2d import S2DConvDown
+
+        fan_in = x.shape[-1] * 9
+        return S2DConvDown(
+            features,
+            kernel_init=kaiming_normal_fanout(activation),
+            bias_init=torch_conv_bias_init(fan_in),
+            name=name,
+        )(x)
+
+    def upconv(self, x, features: int, name: str, activation: str = "relu"):
+        """Fused bilinear-2x-upsample + 1x1 conv into the packed domain
+        (s2d.S2DUpConv); params identical to the 1x1 conv it replaces."""
+        from ramdsir_tpu.models.s2d import S2DUpConv
+
+        fan_in = x.shape[-1]
+        return S2DUpConv(
+            features,
+            kernel_init=kaiming_normal_fanout(activation),
+            bias_init=torch_conv_bias_init(fan_in),
+            name=name,
+        )(x)
+
 
 class ConvD(_Base):
     """Down-stage.  s2d: run the convs/norms in the 2x2 packed domain and
@@ -143,12 +170,15 @@ class ConvD(_Base):
         act = _act(self.activation)
         if not self.first:
             x = s2d_ops.pool2x2(x) if self.s2d_in else nn.max_pool(x, (2, 2), strides=(2, 2))
-        if self.s2d:
-            x = s2d_ops.pack(x)
         kw = dict(train=train, n_valid=n_valid)
         nkw = dict(s2d=self.s2d, dual=self.dual)
-        # layer 1: conv, norm (no activation — reference unet.py:58-60)
-        x = self.conv(x, self.planes, 3, "conv1", self.activation, s2d=self.s2d)
+        # layer 1: conv, norm (no activation — reference unet.py:58-60).
+        # s2d: fused pack+conv (stride-2) takes the pixel-domain x straight
+        # into the packed stage domain — no pack transpose
+        if self.s2d:
+            x = self.downconv(x, self.planes, "conv1", self.activation)
+        else:
+            x = self.conv(x, self.planes, 3, "conv1", self.activation)
         x = Norm(self.planes, self.norm, name="bn1", **nkw)(x, **kw)
         # layer 2: conv, norm, act
         y = self.conv(x, self.planes, 3, "conv2", self.activation, s2d=self.s2d)
@@ -196,8 +226,12 @@ class ConvU(_Base):
             x = act(x)
         if self.s2d_in:
             x = s2d_ops.unpack(x)
-        y = s2d_ops.upsample2x_into(x) if self.s2d else upsample2x(x)
-        y = self.conv(y, self.planes // 2, 1, "conv2", self.activation, s2d=self.s2d)
+        if self.s2d:
+            # fused upsample + 1x1 (ONE conv straight into the packed domain)
+            y = self.upconv(x, self.planes // 2, "conv2", self.activation)
+        else:
+            y = upsample2x(x)
+            y = self.conv(y, self.planes // 2, 1, "conv2", self.activation)
         y = Norm(self.planes // 2, self.norm, s2d=self.s2d, dual=self.dual, name="bn2")(y, **kw)
         y = act(y)
         # channel-concat: skip first (reference torch.cat([prev, y], 1));
@@ -241,8 +275,12 @@ class ConvURec(_Base):
         x = act(x)
         if self.s2d_in:
             x = s2d_ops.unpack(x)
-        y = s2d_ops.upsample2x_into(x) if self.s2d else upsample2x(x)
-        y = self.conv(y, half, 1, "conv2", self.activation, s2d=self.s2d)
+        if self.s2d:
+            # fused upsample + 1x1 (ONE conv straight into the packed domain)
+            y = self.upconv(x, half, "conv2", self.activation)
+        else:
+            y = upsample2x(x)
+            y = self.conv(y, half, 1, "conv2", self.activation)
         y = Norm(half, self.norm, self.num_domains, s2d=self.s2d, name="bn2")(y, **kw)
         y = act(y)
         y = self.conv(y, half, 3, "conv3", self.activation, s2d=self.s2d)

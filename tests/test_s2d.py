@@ -47,6 +47,40 @@ class TestPrimitives:
         got = s2d_ops.unpack(s2d_ops.upsample2x_into(x))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
+    @pytest.mark.parametrize("hw,ci,co", [((8, 8), 3, 16), ((7, 9), 16, 32), ((12, 4), 5, 8)])
+    def test_down_kernel_equals_pack_of_conv(self, hw, ci, co):
+        # fused stride-2 stage entry == pack(conv3x3_SAME(x))
+        h, w_ = hw
+        h += h % 2
+        w_ += w_ % 2
+        x = _x(2, h, w_, ci)
+        w = jnp.asarray(RNG.normal(size=(3, 3, ci, co)).astype(np.float32))
+        ref = s2d_ops.pack(
+            jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+        )
+        got = jax.lax.conv_general_dilated(
+            x, s2d_ops.down_kernel(w), (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.parametrize("hw,ci,co", [((8, 8), 16, 8), ((7, 9), 32, 16), ((1, 1), 4, 4)])
+    def test_upconv_equals_upsample_then_1x1(self, hw, ci, co):
+        # fused S2DUpConv == 1x1 conv of the bilinear-upsampled map, packed
+        h, w_ = hw
+        x = _x(2, h, w_, ci)
+        w = jnp.asarray(RNG.normal(size=(ci, co)).astype(np.float32))
+        up = jax.image.resize(x, (2, 2 * h, 2 * w_, ci), method="bilinear")
+        ref = s2d_ops.pack(up @ w)
+        sten = jnp.asarray(s2d_ops._upsample_stencil_np())
+        k = (sten[:, :, None, None, :] * w[None, None, :, :, None]).reshape(3, 3, ci, 4 * co)
+        got = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) * jnp.asarray(s2d_ops._border_mask_np(h, w_, co))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
     @pytest.mark.parametrize("k,ci,co", [(3, 3, 16), (3, 16, 16), (1, 32, 16)])
     def test_block_kernel_conv_equals_pixel_conv(self, k, ci, co):
         x = _x(2, 12, 16, ci)
