@@ -64,7 +64,10 @@ def main_e2e(max_steps: int = 252, dataset: str = "fundus") -> None:
         label = "batch 10, 384x384"
     cfg = TrainConfig(
         data_root=root, dataset=dataset, save_path=root + "/run",
-        ram=True, rec=True, consistency=True, consistency_type="kd", epochs=24,
+        ram=True, rec=True, consistency=True, consistency_type="kd",
+        # enough epochs to reach any --steps target (fit stops at max_steps;
+        # epochs only stretches the poly-LR horizon, not throughput)
+        epochs=max(24, -(-max_steps // 10)),
         # DEFAULT image-grid cadence (100): grids park on device
         # (DeviceVizRing) and ride the eval-boundary sync, so the honest
         # e2e number now includes the default logging config (round-2
@@ -256,7 +259,7 @@ if __name__ == "__main__":
         else "fundus"
     )
     if "--e2e" in argv:
-        main_e2e(dataset=ds)
+        main_e2e(max_steps=_opt("--steps", 252), dataset=ds)
     elif "--eval" in argv:
         main_eval(dataset=ds)
     else:

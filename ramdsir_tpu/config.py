@@ -68,6 +68,10 @@ class TrainConfig:
     # --- TPU-native extensions (not in the reference) ---
     image_size: int = 256  # fundus train/eval size; prostate slices are 384
     compute_dtype: str = "float32"  # {float32, bfloat16} activation dtype
+    # eval-forward dtype: f32 = exact reference semantics; bfloat16 matches
+    # the TRAINING forward's precision at ~2x the MXU rate (probabilities
+    # still return f32; threshold/postprocess unchanged)
+    predict_dtype: str = "float32"
     num_devices: Optional[int] = None  # data-parallel shard count (None=all)
     ram_use_pallas: bool = False  # fuse the band-mix with a Pallas kernel
     remat: bool = False  # jax.checkpoint the dual forward (memory <-> FLOPs)
@@ -87,10 +91,12 @@ class TrainConfig:
     # the jitted step; host sends int32 indices only (fundus; ~92 MB u8)
     device_data: bool = True
     # lax.scan window: W train steps per XLA dispatch when the device
-    # pipeline is active (None = auto: the largest divisor of
-    # steps_per_epoch <= 32, else min(steps_per_epoch, 32) — divisors keep
-    # one compiled program shape per run; 1 = one dispatch per step,
-    # required for --trace_dir's per-step windows).
+    # pipeline is active.  Dispatches cover SEGMENTS spanning the epochs up
+    # to the next eval boundary (with the reference's eval_every=1 cadence a
+    # segment is one epoch).  None = auto: the largest divisor of the
+    # segment length <= 256, else min(segment, 256) — divisors keep one
+    # compiled program shape per run; 1 = one dispatch per step, required
+    # for --trace_dir's per-step windows.
     # Metrics stay per-step (the window returns a stacked table); TB image
     # grids log the window's LAST step when the cadence lands inside one.
     scan_window: Optional[int] = None

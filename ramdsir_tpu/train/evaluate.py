@@ -32,6 +32,38 @@ from ramdsir_tpu.ops.resize import bilinear_resize_chw
 
 EMPTY_SENTINEL = 100.0  # test_fundus_slice.py:111-131
 
+_q16_fn = None  # lazily-jitted [0,1]-prob -> uint16 quantizer (d2h bytes /2)
+_argmax_u8_fn = None  # lazily-jitted on-device argmax -> uint8 labels (/8)
+
+
+def _q16(p):
+    """Quantize [0,1] probabilities to uint16 ON DEVICE before readback.
+
+    d2h on relay-tunneled chips moves ~0.3 MB/s, so halving the bytes halves
+    the eval stall.  Max reconstruction error is 1/131070 ≈ 7.6e-6 — three
+    orders of magnitude below bf16 forward noise and unable to move the
+    0.75 postprocess threshold except for probabilities within 7.6e-6 of it.
+    """
+    global _q16_fn
+    if _q16_fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        _q16_fn = jax.jit(lambda x: jnp.round(x * 65535.0).astype(jnp.uint16))
+    return _q16_fn(p)
+
+
+def _argmax_u8(p):
+    """On-device argmax -> uint8 labels: EXACT (same f32 probs, same
+    first-max tie-breaking as np.argmax) and 8x fewer d2h bytes."""
+    global _argmax_u8_fn
+    if _argmax_u8_fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        _argmax_u8_fn = jax.jit(lambda x: jnp.argmax(x, axis=-1).astype(jnp.uint8))
+    return _argmax_u8_fn(p)
+
 
 @dataclass
 class FundusEvalResult:
@@ -75,7 +107,8 @@ def eval_fundus(
     # maps in ONE stacked device_get: on relay-tunneled devices a d2h sync
     # costs ~3.3 s regardless of size, so per-batch np.asarray turns a
     # 10-batch eval into ~33 s of pure latency.  Async dispatch also lets
-    # batch k+1 compute while k is still in flight.
+    # batch k+1 compute while k is still in flight.  Probabilities travel
+    # uint16-quantized (see _q16: max error 7.6e-6, half the f32 bytes).
     pending = []  # (n_real, host_batch, device_probs)
     for batch in loader:
         imgs = batch["img"]
@@ -88,15 +121,16 @@ def eval_fundus(
             # (test_fundus_slice.py:100-110).  One extra compile per tail size.
             pad = np.zeros((batch_size - n,) + imgs.shape[1:], imgs.dtype)
             imgs = np.concatenate([imgs, pad], axis=0)
-            pending.append((n, batch, predict(state, imgs, n_valid=n)))
+            pending.append((n, batch, _q16(predict(state, imgs, n_valid=n))))
         else:
-            pending.append((n, batch, predict(state, imgs)))
+            pending.append((n, batch, _q16(predict(state, imgs))))
     if not pending:
         return res
     import jax
     import jax.numpy as jnp
 
     stacked = np.asarray(jax.device_get(jnp.stack([p for _, _, p in pending])))
+    stacked = stacked.astype(np.float32) / 65535.0
     for (n, batch, _), probs_full in zip(pending, stacked):
         probs = probs_full[:n]  # (n, S, S, 2)
         for i in range(probs.shape[0]):
@@ -157,27 +191,27 @@ def predict_volume(
 ) -> np.ndarray:
     """3-slice sliding-window prediction over a (D, H, W) volume.
 
-    All window batches are dispatched before any readback and the
-    probability maps come back in ONE stacked device_get (a d2h sync costs
-    ~3.3 s on relay-tunneled devices regardless of payload)."""
+    All window batches are dispatched before any readback and the argmax
+    LABELS (computed on device — exact, 8x fewer bytes than f32 probs) come
+    back in ONE stacked device_get (a d2h sync costs ~3.3 s on
+    relay-tunneled devices regardless of payload)."""
     depth, h, w = image.shape
     pred_y = np.zeros(mask.shape)
     frame_list = list(range(1, depth - 1))
-    dispatched = []  # (frames, device_probs)
+    dispatched = []  # (frames, device_labels)
     for ii in range(depth // batch_size):
         frames = frame_list[ii * batch_size : (ii + 1) * batch_size]
         vol = np.zeros((batch_size, h, w, 3), np.float32)
         for idx, jj in enumerate(frames):
             vol[idx] = image[jj - 1 : jj + 2].transpose(1, 2, 0)
-        dispatched.append((frames, predict(state, vol)))
+        dispatched.append((frames, _argmax_u8(predict(state, vol))))
     if not dispatched:
         return pred_y
     import jax
     import jax.numpy as jnp
 
     stacked = np.asarray(jax.device_get(jnp.stack([p for _, p in dispatched])))
-    for (frames, _), probs in zip(dispatched, stacked):
-        labels = probs.argmax(-1)
+    for (frames, _), labels in zip(dispatched, stacked):
         for idx, jj in enumerate(frames):
             if mask[jj].sum() == 0:  # empty-GT slices zeroed (quirk kept)
                 continue

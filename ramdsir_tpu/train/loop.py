@@ -214,15 +214,29 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     # a weak/tunneled host.  --trace_dir needs per-step dispatch boundaries,
     # so it forces W=1.
     scan_w = 1
+    seg_epochs = 1
     if dev_data is not None and not cfg.trace_dir and jax.process_count() == 1:
+        # Scan SEGMENTS span every epoch up to the next eval boundary: the
+        # host needs no control between them, and on relay-tunneled devices
+        # each program dispatch costs a ~0.85 s round-trip once the
+        # in-flight queue saturates — per-epoch windows (21 steps ~ 0.8 s)
+        # then leave the chip idle ~50% (measured; BENCH_NOTES).  With
+        # eval_every=1 (the reference cadence) segments stay one epoch.
+        seg_epochs = max(1, min(eval_every, cfg.epochs))
+        seg_steps = steps_per_epoch * seg_epochs
         if cfg.scan_window:
             scan_w = cfg.scan_window
         else:
-            # auto: prefer a divisor of steps_per_epoch (a remainder window
-            # is a second compiled program), biggest one within the cap
-            cap = 32
-            divs = [d for d in range(2, cap + 1) if steps_per_epoch % d == 0]
-            scan_w = max(divs) if divs else min(steps_per_epoch, cap)
+            # auto: prefer a divisor of the segment length (a remainder
+            # window is a second compiled program), biggest one within the
+            # cap; the cap keeps the metrics table / TB-grid cadence sane.
+            # A max_steps smaller than the segment truncates the run — pick
+            # a divisor of IT instead, or the tail window is a fresh
+            # program shape (a ~300 s relay compile).
+            effective = seg_steps if max_steps is None else min(seg_steps, max_steps)
+            cap = 256
+            divs = [d for d in range(2, cap + 1) if effective % d == 0]
+            scan_w = max(divs) if divs else min(effective, cap)
     train_step = make_train_step(
         cfg, models, total_iters, pad_to_multiple=n_dev if n_dev > 1 else None,
         device_data=dev_data, donate=True, scan=scan_w > 1,
@@ -252,9 +266,9 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     def _flush_viz():
         vizring.flush(lambda viz, s: _log_viz(writer, viz, s, cfg))
 
-    def run_scan_epoch(state, pbar):
+    def run_scan_segment(state, plan, pbar):
         nonlocal step, done
-        plan = domain_iter.epoch_plan()
+        seg_len = plan["img_idx"].shape[0]
         b_real = plan["img_idx"].shape[1]
         if n_dev > 1 and b_real % n_dev:
             pad = (-b_real) % n_dev
@@ -266,8 +280,8 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
         from jax.sharding import NamedSharding, PartitionSpec
 
         spec = NamedSharding(mesh, PartitionSpec(None, "data")) if mesh else None
-        while pos < steps_per_epoch and not done:
-            w = min(scan_w, steps_per_epoch - pos)
+        while pos < seg_len and not done:
+            w = min(scan_w, seg_len - pos)
             if max_steps is not None:
                 w = min(w, max_steps - step)
             if w <= 0:
@@ -283,13 +297,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             state, mtable, viz = train_step(state, win, rng, dev_data)
             _t2 = time.perf_counter()
             ring.append(step, mtable)  # (W,)-valued dict; pulled when full
-            if os.environ.get("RAMDSIR_TIMING"):
-                print(
-                    f"window step={step} w={w}: put {1e3*(_t1-_t0):.0f}ms "
-                    f"dispatch {1e3*(_t2-_t1):.0f}ms "
-                    f"append {1e3*(time.perf_counter()-_t2):.0f}ms",
-                    flush=True,
-                )
+            _t3 = time.perf_counter()
             # ticks fire at dispatch (everything above is async); the
             # timing window is extended to actual completion by timer.mark()
             # after the sync at eval boundaries / end of training — device
@@ -304,6 +312,14 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                 (step + i) % cfg.log_images_every == 0 for i in range(w)
             ):
                 vizring.append(step + w - 1, viz)
+            if os.environ.get("RAMDSIR_TIMING"):
+                print(
+                    f"window step={step} w={w}: put {1e3*(_t1-_t0):.0f}ms "
+                    f"dispatch {1e3*(_t2-_t1):.0f}ms "
+                    f"append {1e3*(_t3-_t2):.0f}ms "
+                    f"viz {1e3*(time.perf_counter()-_t3):.0f}ms",
+                    flush=True,
+                )
             step += w
             pos += w
             if max_steps is not None and step >= max_steps:
@@ -311,20 +327,27 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
         return state
 
     try:
-        for epoch in range(cfg.epochs):
-            if done:
-                break
+        epoch = 0
+        while epoch < cfg.epochs and not done:
             t_ep = time.time()
+            # One segment = the epochs up to the next eval boundary (scan
+            # mode; 1 epoch otherwise).  Plans are built per epoch and
+            # concatenated — identical step sequence to the per-epoch loop.
+            n_ep = seg_epochs if scan_w > 1 else 1
+            n_ep = min(n_ep, cfg.epochs - epoch)
             # per-epoch progress bar (reference train.py:223 wraps the iter
             # loop in tqdm); disabled when stdout isn't a TTY (CI, logs)
             from tqdm import tqdm
 
             pbar = tqdm(
-                total=steps_per_epoch, desc=f"epoch {epoch}", unit="step",
-                leave=False, disable=None, mininterval=2.0,
+                total=steps_per_epoch * n_ep,
+                desc=f"epoch {epoch}" + (f"-{epoch + n_ep - 1}" if n_ep > 1 else ""),
+                unit="step", leave=False, disable=None, mininterval=2.0,
             )
             if scan_w > 1:
-                state = run_scan_epoch(state, pbar)
+                plans = [domain_iter.epoch_plan() for _ in range(n_ep)]
+                plan = {k: np.concatenate([p[k] for p in plans], axis=0) for k in plans[0]}
+                state = run_scan_segment(state, plan, pbar)
                 pbar.close()
                 # fall through to the shared eval/checkpoint block
                 batch_iter = ()
@@ -353,6 +376,10 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                     done = True
                     break
             pbar.close()
+            # `epoch` now names the LAST epoch of the segment (the one the
+            # eval row / checkpoint meta is attributed to, like the per-epoch
+            # loop); the while-step below advances past it.
+            epoch = epoch + n_ep - 1
 
             if (epoch + 1) % eval_every == 0 or done:
                 # REAL device sync: block_until_ready can return before
@@ -392,6 +419,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                     f"epoch {epoch}: eval avg dice {avg:.2f} | best {keeper.best:.2f} | "
                     f"{timer.items_per_sec:.1f} img/s | epoch {time.time()-t_ep:.1f}s"
                 )
+            epoch += 1
 
     finally:
         # stop loader worker processes (no-op for thread loaders)

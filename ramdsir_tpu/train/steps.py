@@ -448,14 +448,20 @@ def make_predict_fn(
     the real rows only, matching the reference, which runs the smaller tail
     batch as-is (test_fundus_slice.py:100-110).  Each distinct n_valid costs
     one extra compile (typically one per dataset: the tail size).
+
+    cfg.predict_dtype="bfloat16" runs the eval forward at the TRAINING
+    forward's precision (convs bf16, norm stats f32) instead of the
+    reference's f32 — ~2x MXU rate; probabilities still return f32.
+    Default stays f32 (exact reference semantics).
     """
     is_fundus = cfg.dataset == "fundus"
+    pdt = jnp.bfloat16 if cfg.predict_dtype == "bfloat16" else jnp.float32
 
     @partial(jax.jit, static_argnames=("n_valid",))
     def predict(
         state: TrainState, img: jax.Array, n_valid: Optional[int] = None
     ) -> jax.Array:
-        x = img / 127.5 - 1.0 if is_fundus else img
+        x = (img / 127.5 - 1.0 if is_fundus else img).astype(pdt)
         train_flag = bool(bn_adapt)
         feats, _ = _apply_with_stats(
             models["encoder"], state.params["encoder"], state.batch_stats["encoder"],

@@ -170,29 +170,50 @@ class DeviceVizRing:
     The reference logs image grids every 100 iters (code/train.py:306-329).
     Pulling the grid arrays eagerly costs a full d2h round-trip (~3.3 s on
     this relay) every 100 steps — ~40% of the step budget at round-2 rates.
-    Instead each logging step FLATTENS its viz dict into one f32 vector on
-    device (cheap concat; no transfer) and parks the jax array; at eval
-    boundaries — where training already pays a real sync — all parked
-    grids come back in ONE stacked device_get and are written to TB with
-    their original step tags.  Same images, same tags, batched in time.
+    Instead each logging step quantizes its viz dict to ONE uint8 vector on
+    device (per-array min/max affine, same normalize `make_grid` applies
+    before TB's own uint8 conversion — the logged artifact changes by at
+    most 1/255 per pixel, constant/binary arrays reconstruct exactly) and
+    parks the jax array; at eval boundaries — where training already pays
+    a real sync — all parked grids come back in ONE stacked device_get and
+    are written to TB with their original step tags.  Same images, same
+    tags, batched in time, 4x fewer bytes on a ~0.3 MB/s d2h link.
     """
 
     def __init__(self, cap: int = 32):
-        self._slots: list = []  # (step, flat f32 device array)
+        self._cap = cap
+        self._slots: list = []  # (step, flat uint8 array, (lo,hi)*K f32)
         self._meta = None  # (keys, shapes) of the viz tree, fixed per run
+        self._quantize = None  # jitted flatten+quantize, one dispatch/append
 
     def append(self, step: int, viz: dict) -> None:
+        import jax
         import jax.numpy as jnp
 
         keys = sorted(viz)
         if self._meta is None:
             self._meta = (keys, [tuple(viz[k].shape) for k in keys])
-        flat = jnp.concatenate([viz[k].astype(jnp.float32).ravel() for k in keys])
-        if len(self._slots) >= 32:
+        if self._quantize is None:
+            # ONE jitted program per append: ~20 eager mini-ops (min, round,
+            # ravel, concat per key) each cost a dispatch round-trip — and a
+            # first-touch compile — on a relay-tunneled device
+            def _q(vz):
+                qs, scales = [], []
+                for k in sorted(vz):
+                    x = vz[k].astype(jnp.float32)
+                    lo, hi = x.min(), x.max()
+                    q = jnp.round((x - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12)))
+                    qs.append(q.astype(jnp.uint8).ravel())
+                    scales.extend([lo, hi])
+                return jnp.concatenate(qs), jnp.stack(scales)
+
+            self._quantize = jax.jit(_q)
+        if len(self._slots) >= self._cap:
             # pathological config (tiny log_images_every, rare evals):
             # keep the most recent grids rather than growing HBM unboundedly
             self._slots.pop(0)
-        self._slots.append((step, flat))
+        flat, scales = self._quantize(viz)
+        self._slots.append((step, flat, scales))
 
     def flush(self, log_fn) -> None:
         """ONE pull for every parked grid; log_fn(viz_dict, step) per grid."""
@@ -201,16 +222,21 @@ class DeviceVizRing:
         import jax
         import jax.numpy as jnp
 
-        stacked = np.asarray(
-            jax.device_get(jnp.stack([f for _, f in self._slots]))
+        stacked, scales = jax.device_get(
+            (
+                jnp.stack([q for _, q, _ in self._slots]),
+                jnp.stack([s for _, _, s in self._slots]),
+            )
         )
+        stacked, scales = np.asarray(stacked), np.asarray(scales)
         keys, shapes = self._meta
         sizes = [int(np.prod(s)) for s in shapes]
         offs = np.cumsum([0] + sizes)
-        for (step, _), row in zip(self._slots, stacked):
-            viz = {
-                k: row[offs[i] : offs[i + 1]].reshape(shapes[i])
-                for i, k in enumerate(keys)
-            }
+        for (step, _, _), row, sc in zip(self._slots, stacked, scales):
+            viz = {}
+            for i, k in enumerate(keys):
+                lo, hi = sc[2 * i], sc[2 * i + 1]
+                q = row[offs[i] : offs[i + 1]].reshape(shapes[i])
+                viz[k] = lo + q.astype(np.float32) * ((hi - lo) / 255.0)
             log_fn(viz, step)
         self._slots.clear()

@@ -43,6 +43,28 @@ def test_tie_resaves_newer_model(tmp_path):
     assert keeper.best == pytest.approx(0.5)
 
 
+def test_best_is_weights_only_and_loads(tmp_path):
+    """Rolling-best checkpoints store weights+stats only (the reference's
+    model_*.pth content — no Adam moments, 3x fewer d2h bytes); loading one
+    keeps the template's fresh optimizer state."""
+    keeper = BestKeeper(str(tmp_path))
+    st = _state(7)
+    st = st.replace(opt_state={"m": jnp.full((2,), 9.0)})
+    keeper.update(0.9, st)
+    template = _state(0)
+    loaded, _ = load_checkpoint(os.path.join(tmp_path, "model_0.90.ckpt"), template)
+    assert int(loaded.step) == 7
+    assert float(loaded.params["w"][0]) == 7.0
+    # optimizer state falls back to the template's (fresh) moments
+    assert float(loaded.opt_state["m"][0]) == 0.0
+    # the file is actually smaller than a full save
+    from ramdsir_tpu.train.checkpoint import save_checkpoint
+
+    full = os.path.join(tmp_path, "full.ckpt")
+    save_checkpoint(full, st)
+    assert os.path.getsize(os.path.join(tmp_path, "model_0.90.ckpt")) < os.path.getsize(full)
+
+
 def test_resume_adoption_sorts_numerically(tmp_path):
     # lexicographic sort would adopt model_9.50 over model_12.00
     for score in (9.5, 12.0):
