@@ -108,7 +108,7 @@ def main_eval(dataset: str = "fundus") -> None:
     root = tempfile.mkdtemp(prefix="bench_eval_")
     if dataset == "fundus":
         # real test sets are 51-80 images (SURVEY #17); use 51 (Domain1)
-        make_fundus_tree(root + "/fundus", per_domain_train=2, per_domain_test=51, size=256)
+        make_fundus_tree(root, per_domain_train=2, per_domain_test=51, size=256)
         cfg = TrainConfig(
             data_root=root, dataset="fundus", image_size=256, test_domain_idx=0,
             domain_idxs=(1, 2, 3), save_path=root + "/run", compute_dtype="bfloat16",
@@ -121,7 +121,7 @@ def main_eval(dataset: str = "fundus") -> None:
                 predict, state, root, 0, batch_size=cfg.test_batch_size, image_size=256
             )
     else:
-        make_prostate_volumes(root + "/prostate", per_domain=2, depth=24, size=384)
+        make_prostate_volumes(root, per_domain=2, depth=24, size=384)
         cfg = TrainConfig(
             data_root=root, dataset="prostate", image_size=384, test_domain_idx=5,
             domain_idxs=(0, 1, 2, 3, 4), save_path=root + "/run",

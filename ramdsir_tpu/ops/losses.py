@@ -82,11 +82,19 @@ def dice_loss_multi(
 
 
 def cross_entropy_loss(logits: jax.Array, target: jax.Array) -> jax.Array:
-    """torch nn.CrossEntropyLoss (mean) on NHWC logits and int targets."""
+    """torch nn.CrossEntropyLoss (mean) on NHWC logits and int targets.
+
+    The label pick is a one-hot contraction, NOT take_along_axis: XLA:TPU
+    lowers a per-pixel gather over a (B,H,W,C) map to a "custom fusion"
+    that cost 50.6 ms/step — 39% of the whole prostate train step — in the
+    round-3 trace; the one-hot multiply-sum is a pure VPU elementwise+
+    reduce at memory bandwidth and is exactly equal (one-hot rows select
+    the same logp element; both forms' gradients scatter the same way).
+    """
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)
-    return -jnp.mean(picked)
+    onehot = jax.nn.one_hot(target, logits.shape[-1], dtype=jnp.float32)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
 
 
 def _kl_div_mean(log_input: jax.Array, target: jax.Array) -> jax.Array:

@@ -277,7 +277,10 @@ def make_train_step(
                         seg[train_idx, left : left + bs] = 1.0 / (
                             bs * float(np.prod(diff2.shape[1:]))
                         )
-                        rec_samples.append(rec_soft_all[left : left + 1])
+                        if cfg.log_images_every:
+                            # viz-only slices (~2 ms/step of formatting in
+                            # the prostate trace) — skip when grids are off
+                            rec_samples.append(rec_soft_all[left : left + 1])
                         left += bs
                     loss_rec_d = jnp.asarray(seg) @ per_row  # (D,)
                     loss = loss + lambda_rec * jnp.sum(loss_rec_d)
