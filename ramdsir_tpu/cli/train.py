@@ -54,6 +54,12 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="train steps per XLA dispatch with the device pipeline "
         "(default: auto; 1 disables the lax.scan window)",
     )
+    p.add_argument(
+        "--global_batch", type=int, default=None,
+        help="NON-PARITY: replace the reference's hard-coded per-domain "
+        "batch tables with an even split of this global batch; the base LR "
+        "scales linearly with the batch ratio unless --lr is given",
+    )
     return p.parse_args(argv)
 
 
@@ -89,6 +95,7 @@ def main(argv=None):
         checkpoint_resume=a.resume,
         trace_dir=a.trace_dir,
         scan_window=a.scan_window,
+        global_batch=a.global_batch,
     )
     summary = fit(cfg, max_steps=a.max_steps)
     print(summary)

@@ -100,6 +100,13 @@ class TrainConfig:
     # Metrics stay per-step (the window returns a stacked table); TB image
     # grids log the window's LAST step when the cadence lands inside one.
     scan_window: Optional[int] = None
+    # Non-parity scaling knob: override the reference's hard-coded
+    # per-target-domain sub-batch tables (train.py:35-45) with an even
+    # split of this GLOBAL batch across the source domains, and (unless
+    # --lr is given explicitly) scale the base LR linearly by the
+    # global-batch ratio.  Batch 96 measures 442 img/s on one v5e chip
+    # vs 398 at the reference's 16 (BENCH_NOTES.md "Batch scaling").
+    global_batch: Optional[int] = None
     log_interval: int = 1
     log_images_every: int = 100  # TB image grids (reference: 100); 0 disables
     checkpoint_resume: Optional[str] = None
@@ -111,12 +118,30 @@ class TrainConfig:
             cfg.epochs = DATASET_EPOCHS[cfg.dataset]
         if cfg.lr is None:
             cfg.lr = DATASET_LR[cfg.dataset]
+            if cfg.global_batch:
+                # linear LR scaling with the batch ratio (Goyal et al.;
+                # explicitly non-parity — the reference LR is tuned for
+                # its hard-coded batch tables)
+                ref_total = sum(self._reference_batch_list())
+                cfg.lr = cfg.lr * cfg.global_batch / ref_total
         if cfg.num_classes is None:
             cfg.num_classes = DATASET_NUM_CLASSES[cfg.dataset]
         return cfg
 
+    def _reference_batch_list(self) -> List[int]:
+        table = FUNDUS_BATCH_LIST if self.dataset == "fundus" else PROSTATE_BATCH_LIST
+        return table[self.test_domain_idx][: len(self.domain_idxs)]
+
     @property
     def batch_size_list(self) -> List[int]:
+        if self.global_batch:
+            n_dom = len(self.domain_idxs)
+            if self.global_batch % n_dom:
+                raise ValueError(
+                    f"--global_batch {self.global_batch} must divide by the "
+                    f"{n_dom} source domains (even split)"
+                )
+            return [self.global_batch // n_dom] * n_dom
         if self.dataset == "fundus":
             return FUNDUS_BATCH_LIST[self.test_domain_idx]
         return PROSTATE_BATCH_LIST[self.test_domain_idx]

@@ -160,3 +160,32 @@ def test_bn_adapt_predict_differs_from_frozen(roots):
     frozen = make_predict_fn(cfg, models, bn_adapt=False)(state, x)
     adapted = make_predict_fn(cfg, models, bn_adapt=True)(state, x)
     assert not np.allclose(np.asarray(frozen), np.asarray(adapted))
+
+
+def test_global_batch_override(roots):
+    """--global_batch (non-parity scaling knob): even per-domain split,
+    linear LR scaling unless --lr is explicit, divisibility guard, and a
+    real train step at the overridden batch."""
+    base = dict(
+        data_root=roots, dataset="fundus", image_size=32, test_domain_idx=3,
+        domain_idxs=(0, 1, 2), save_path="x", ram=True, rec=True,
+        consistency=True, consistency_type="kd",
+    )
+    ref = TrainConfig(**base).resolve()  # table [2,4,10] -> 16, lr 2e-3
+    cfg = TrainConfig(**base, global_batch=24).resolve()
+    assert cfg.batch_size_list == [8, 8, 8]
+    np.testing.assert_allclose(cfg.lr, ref.lr * 24 / 16)
+    # explicit --lr wins over the linear scaling
+    assert TrainConfig(**base, global_batch=24, lr=5e-4).resolve().lr == 5e-4
+    with pytest.raises(ValueError, match="divide"):
+        _ = TrainConfig(**base, global_batch=25).resolve().batch_size_list
+
+    it = build_train_loaders(cfg, os.path.join(roots, "fundus"), seed=0)
+    dev = getattr(it, "device_data", None)
+    batch = next(iter(it))
+    n_rows = (batch["img_idx"] if "img_idx" in batch else batch["img"]).shape[0]
+    assert n_rows == 24
+    state, models = init_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, models, total_iters=10, device_data=dev)
+    state, m, _ = step(state, batch, jax.random.PRNGKey(3), dev)
+    assert _metrics_finite(m), m
