@@ -244,10 +244,50 @@ def main(dataset: str = "fundus", batch: int = 0, remat: bool = False) -> None:
     )
 
 
+def _wait_for_device(max_wait_s: float = 1500.0) -> None:
+    """Ride out transient relay outages before measuring.
+
+    The axon relay occasionally refuses backend setup (UNAVAILABLE) or
+    hangs init for many minutes (observed 2026-08-17: a ~20-min window
+    where every init died).  Measurements must come from the real chip —
+    there is nothing to fake here — but a bounded retry keeps one flaky
+    window from losing the run.  Raises after max_wait_s."""
+    import jax
+
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            attempt += 1
+            waited = time.perf_counter() - t0
+            if waited > max_wait_s:
+                raise RuntimeError(
+                    f"device backend unavailable after {waited:.0f}s / "
+                    f"{attempt} attempts"
+                ) from e
+            import sys
+
+            print(
+                f"# device init failed (attempt {attempt}, {waited:.0f}s): "
+                f"{e}; retrying in 60s",
+                file=sys.stderr,
+                flush=True,
+            )
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(60.0)
+
+
 if __name__ == "__main__":
     import sys
 
     argv = sys.argv[1:]
+    _wait_for_device()
 
     def _opt(name, default=0):
         return int(argv[argv.index(name) + 1]) if name in argv else default
