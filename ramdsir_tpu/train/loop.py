@@ -169,16 +169,29 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
 
         random.seed(cfg.seed)
         np.random.seed(cfg.seed)
+    is_main = jax.process_index() == 0
+    if jax.process_count() > 1 and cfg.log_images_every:
+        # TB image grids are a single-host extension: the viz slices come
+        # back sharded across hosts and no one process can pull them.
+        # Scalars/eval/checkpoints are unaffected (the reference has no
+        # multi-host path at all).
+        cfg = dataclasses.replace(cfg, log_images_every=0)
+        if is_main:
+            print("multi-host: TB image grids disabled (log_images_every=0)")
     data_root = os.path.join(cfg.data_root, cfg.dataset)
     save_dir = cfg.save_path
     os.makedirs(save_dir, exist_ok=True)
     save_run_config(save_dir, dataclasses.asdict(cfg))
 
     rows = None
-    if jax.process_count() > 1:
-        # Multi-host: every process derives the SAME epoch plan (same seed)
-        # and materializes only its rows of the global domain-major batch;
-        # shard_batch assembles the global array from the local shards.
+    if jax.process_count() > 1 and (not cfg.device_data or cfg.trace_dir):
+        # Multi-host HOST-loader path (bigger-than-HBM data, or per-step
+        # trace windows): every process derives the SAME epoch plan (same
+        # seed) and materializes only its rows of the global domain-major
+        # batch; shard_batch assembles the global array from local shards.
+        # With the device pipeline (default) there is no row slicing —
+        # every process holds the (replicated) dataset and the full index
+        # plan, and the scan windows shard the batch axis globally.
         from ramdsir_tpu.parallel.distributed import local_batch_slice
 
         rows = local_batch_slice(sum(cfg.batch_size_list[: len(cfg.domain_idxs)]))
@@ -207,7 +220,11 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
         # batch; the source arrays live on every device — ~100 MB)
         from ramdsir_tpu.parallel.mesh import replicated
 
-        dev_data = {k: jax.device_put(v, replicated(mesh)) for k, v in dev_data.items()}
+        # multi-host: device_put of a locally-committed array to a global
+        # sharding is rejected — hand it the host copy instead (each
+        # process provides the identical full array, once at startup)
+        src = np.asarray if jax.process_count() > 1 else (lambda a: a)
+        dev_data = {k: jax.device_put(src(v), replicated(mesh)) for k, v in dev_data.items()}
     # lax.scan window: W steps per XLA dispatch when the whole dataset is
     # device-resident — the host does NOTHING per step (no h2d, no key
     # fold_in, no dispatch), which is what actually feeds a fast chip from
@@ -215,7 +232,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     # so it forces W=1.
     scan_w = 1
     seg_epochs = 1
-    if dev_data is not None and not cfg.trace_dir and jax.process_count() == 1:
+    if dev_data is not None and not cfg.trace_dir:
         # Scan SEGMENTS span every epoch up to the next eval boundary: the
         # host needs no control between them, and on relay-tunneled devices
         # each program dispatch costs a ~0.85 s round-trip once the
@@ -237,6 +254,12 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             cap = 256
             divs = [d for d in range(2, cap + 1) if effective % d == 0]
             scan_w = max(divs) if divs else min(effective, cap)
+    if jax.process_count() > 1 and dev_data is not None and scan_w <= 1:
+        raise ValueError(
+            "multi-host device-resident training runs through scan windows "
+            "(the per-step path assumes process-local batch rows); set "
+            "scan_window >= 2 or device_data=False"
+        )
     train_step = make_train_step(
         cfg, models, total_iters, pad_to_multiple=n_dev if n_dev > 1 else None,
         device_data=dev_data, donate=True, scan=scan_w > 1,
@@ -296,7 +319,8 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             _t1 = time.perf_counter()
             state, mtable, viz = train_step(state, win, rng, dev_data)
             _t2 = time.perf_counter()
-            ring.append(step, mtable)  # (W,)-valued dict; pulled when full
+            if is_main:  # logging (and its d2h pulls) is process 0's job
+                ring.append(step, mtable)  # (W,)-valued dict; pulled when full
             _t3 = time.perf_counter()
             # ticks fire at dispatch (everything above is async); the
             # timing window is extended to actual completion by timer.mark()
@@ -308,8 +332,10 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
             pbar.update(w)
             if timer.items_per_sec:
                 pbar.set_postfix_str(f"{timer.items_per_sec:.0f} img/s", refresh=False)
-            if cfg.log_images_every and any(
-                (step + i) % cfg.log_images_every == 0 for i in range(w)
+            if (
+                is_main
+                and cfg.log_images_every
+                and any((step + i) % cfg.log_images_every == 0 for i in range(w))
             ):
                 vizring.append(step + w - 1, viz)
             if os.environ.get("RAMDSIR_TIMING"):
@@ -364,9 +390,9 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                     jax.profiler.stop_trace()
                     print(f"profiler trace (steps 2-12) written to {cfg.trace_dir}")
                 timer.tick(b_real)
-                if step % cfg.log_interval == 0:
+                if is_main and step % cfg.log_interval == 0:
                     ring.append(step, metrics)  # pulled when the ring fills
-                if cfg.log_images_every and step % cfg.log_images_every == 0:
+                if is_main and cfg.log_images_every and step % cfg.log_images_every == 0:
                     vizring.append(step, viz)  # reference train.py:306-329
                 pbar.update(1)
                 if timer.items_per_sec:
@@ -389,9 +415,22 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                 timer.mark()  # close the throughput window at completed work
                 ring.flush()  # scalars reach TB before the eval row does
                 _flush_viz()  # parked image grids ride the same boundary
+                if not is_main:
+                    # eval/CSV/checkpoints are process 0's job (no
+                    # collectives below, so control flow may diverge)
+                    epoch += 1
+                    continue
+                eval_state = state
+                if jax.process_count() > 1:
+                    # the mesh-free predict jit can't consume the global
+                    # replicated state; pull it once and rebind to this
+                    # process's devices (2M params — cheap per eval)
+                    eval_state = jax.tree.map(
+                        lambda x: jax.device_put(jax.device_get(x)), state
+                    )
                 if cfg.dataset == "fundus":
                     res = eval_fundus(
-                        predict, state, cfg.data_root, cfg.test_domain_idx,
+                        predict, eval_state, cfg.data_root, cfg.test_domain_idx,
                         batch_size=cfg.test_batch_size, image_size=cfg.image_size,
                     )
                     avg = res.avg_dice_pct
@@ -404,7 +443,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
                     summary.update(cup_dice=res.cup_dice, disc_dice=res.disc_dice)
                 else:
                     res = eval_prostate_volumes(
-                        predict, state, cfg.data_root, cfg.test_domain_idx,
+                        predict, eval_state, cfg.data_root, cfg.test_domain_idx,
                         batch_size=cfg.test_batch_size,
                     )
                     avg = res.dice_pct
@@ -429,7 +468,7 @@ def fit(cfg: TrainConfig, eval_every: int = 1, max_steps: Optional[int] = None) 
     timer.mark()  # include the in-flight tail steps' execution time
     ring.flush()
     _flush_viz()
-    final_path = keeper.save_final(state, meta={"steps": step})
+    final_path = keeper.save_final(state, meta={"steps": step}) if is_main else None
     writer.close()
     summary.update(
         best=keeper.best, steps=step, images_per_sec=timer.items_per_sec, final_checkpoint=final_path

@@ -53,11 +53,12 @@ _x = jax.device_put(_np.arange(8, dtype=_np.float32), NamedSharding(_mesh, _P("d
 float(jnp.sum(_x))
 from ramdsir_tpu.config import TrainConfig
 from ramdsir_tpu.train.loop import fit
+mode = sys.argv[5]  # "device" (HBM-resident + scan windows) or "host"
 cfg = TrainConfig(
     data_root=data_root, dataset="fundus", image_size=32, test_domain_idx=3,
     domain_idxs=(0, 1, 2), save_path=os.path.join(out_dir, f"proc{proc_id}"),
     ram=True, rec=True, consistency=True, consistency_type="kd", epochs=1,
-    device_data=False, loader="thread", seed=7, log_interval=1,
+    device_data=(mode == "device"), loader="thread", seed=7, log_interval=1,
 )
 summary = fit(cfg, eval_every=10**9, max_steps=4)
 print("CHILD_OK", proc_id, json.dumps({k: summary[k] for k in ("steps",)}), flush=True)
@@ -81,7 +82,13 @@ def _losses_from_jsonl(save_path):
 
 
 @pytest.mark.slow
-def test_two_process_fit_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mode", ["host", "device"])
+def test_two_process_fit_matches_single_process(tmp_path, mode):
+    """mode='host': multi-host host-loader path (rows= slicing +
+    make_array_from_process_local_data).  mode='device': the default pod
+    path — HBM-resident dataset replicated per process, full index plans
+    everywhere, lax.scan windows sharding the batch axis over the global
+    mesh (loop.py run_scan_segment)."""
     from ramdsir_tpu.data.synthetic import make_fundus_tree
 
     data_root = str(tmp_path / "data")
@@ -99,7 +106,7 @@ def test_two_process_fit_matches_single_process(tmp_path):
     out_dir = str(tmp_path / "mh")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", CHILD, str(i), str(port), data_root, out_dir],
+            [sys.executable, "-c", CHILD, str(i), str(port), data_root, out_dir, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
@@ -135,7 +142,7 @@ def test_two_process_fit_matches_single_process(tmp_path):
         data_root=data_root, dataset="fundus", image_size=32, test_domain_idx=3,
         domain_idxs=(0, 1, 2), save_path=sp_path, ram=True, rec=True,
         consistency=True, consistency_type="kd", epochs=1,
-        device_data=False, loader="thread", seed=7, log_interval=1,
+        device_data=(mode == "device"), loader="thread", seed=7, log_interval=1,
     )
     fit(cfg, eval_every=10**9, max_steps=4)
     sp_losses = _losses_from_jsonl(sp_path)
