@@ -244,43 +244,68 @@ def main(dataset: str = "fundus", batch: int = 0, remat: bool = False) -> None:
     )
 
 
-def _wait_for_device(max_wait_s: float = 1500.0) -> None:
+def _wait_for_device(max_wait_s: float = 2400.0, attempt_timeout_s: float = 240.0) -> None:
     """Ride out transient relay outages before measuring.
 
     The axon relay occasionally refuses backend setup (UNAVAILABLE) or
-    hangs init for many minutes (observed 2026-08-17: a ~20-min window
-    where every init died).  Measurements must come from the real chip —
-    there is nothing to fake here — but a bounded retry keeps one flaky
-    window from losing the run.  Raises after max_wait_s."""
-    import jax
+    HANGS init for many minutes (observed 2026-08-17: a ~20-min window of
+    refused inits; 2026-08-18: one init attempt that hung ~25 min before
+    raising — which would eat the whole in-process retry budget in a
+    single attempt).  Probe in a killable SUBPROCESS with a per-attempt
+    timeout, and only initialize in-process once a probe succeeds.
+    Measurements must come from the real chip — there is nothing to fake
+    here — but a bounded retry keeps one flaky window from losing the
+    run.  Raises after max_wait_s."""
+    import subprocess
+    import sys
 
     t0 = time.perf_counter()
     attempt = 0
     while True:
+        attempt += 1
         try:
-            jax.devices()
-            return
-        except RuntimeError as e:
-            attempt += 1
-            waited = time.perf_counter() - t0
-            if waited > max_wait_s:
-                raise RuntimeError(
-                    f"device backend unavailable after {waited:.0f}s / "
-                    f"{attempt} attempts"
-                ) from e
-            import sys
-
-            print(
-                f"# device init failed (attempt {attempt}, {waited:.0f}s): "
-                f"{e}; retrying in 60s",
-                file=sys.stderr,
-                flush=True,
+            # jax.config.update: the axon sitecustomize force-sets
+            # jax_platforms programmatically, so the env var alone is NOT
+            # honored (same trap conftest.py documents).  Under the driver
+            # this re-asserts the ambient platform; under JAX_PLATFORMS=cpu
+            # it makes the probe actually probe the CPU backend.
+            probe = (
+                "import os, jax\n"
+                "p = os.environ.get('JAX_PLATFORMS')\n"
+                "if p: jax.config.update('jax_platforms', p)\n"
+                "jax.devices()\n"
             )
-            try:
-                jax.clear_backends()
-            except Exception:
-                pass
-            time.sleep(60.0)
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=attempt_timeout_s,
+                capture_output=True,
+            )
+            ok, why = r.returncode == 0, (r.stderr or b"").decode()[-300:]
+        except subprocess.TimeoutExpired:
+            ok, why = False, f"probe hung > {attempt_timeout_s:.0f}s (killed)"
+        if ok:
+            import os
+
+            import jax
+
+            p = os.environ.get("JAX_PLATFORMS")
+            if p:  # sitecustomize force-sets jax_platforms; re-assert env
+                jax.config.update("jax_platforms", p)
+            jax.devices()  # probe just succeeded; real init should be quick
+            return
+        waited = time.perf_counter() - t0
+        if waited > max_wait_s:
+            raise RuntimeError(
+                f"device backend unavailable after {waited:.0f}s / "
+                f"{attempt} attempts; last: {why}"
+            )
+        print(
+            f"# device init failed (attempt {attempt}, {waited:.0f}s): "
+            f"{why!r}; retrying in 30s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30.0)
 
 
 if __name__ == "__main__":
