@@ -57,15 +57,18 @@ def load_events(path: str):
 # ---- categorize XLA/TPU op names -----------------------------------------
 
 _CATEGORIES = [
+    # order matters: more-specific buckets first ('all-reduce' must hit
+    # 'collective' before the bare 'reduce' pattern; 'select-and-scatter'
+    # before 'scatter/gather'; XLA spells collectives with hyphens)
     ("convolution", r"convolution|conv\b|%conv"),
     ("dot/matmul", r"\bdot\b|dot_general|%dot"),
     ("fft", r"\bfft\b"),
-    ("reduce", r"reduce(?!_scatter)|all-reduce-scatter-fusion"),
+    ("select-and-scatter (pool bwd)", r"select-and-scatter"),
+    ("collective", r"all-reduce|all-gather|reduce-scatter|all-to-all|collective|permute"),
+    ("reduce", r"reduce"),
     ("data formatting", r"copy|transpose|reshape|bitcast|concatenate|slice|pad\b"),
     ("scatter/gather", r"scatter|gather|dynamic-update"),
-    ("collective", r"all-reduce|all-gather|reduce-scatter|collective|permute"),
     ("rng", r"rng|philox"),
-    ("select-and-scatter (pool bwd)", r"select-and-scatter"),
     ("loop/elementwise fusion", r"fusion|loop_"),
 ]
 

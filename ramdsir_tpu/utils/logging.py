@@ -173,7 +173,9 @@ class DeviceVizRing:
     Instead each logging step quantizes its viz dict to ONE uint8 vector on
     device (per-array min/max affine, same normalize `make_grid` applies
     before TB's own uint8 conversion — the logged artifact changes by at
-    most 1/255 per pixel, constant/binary arrays reconstruct exactly) and
+    most 1/255 per pixel; integer-valued arrays such as label maps are
+    flagged and rounded at dequant, reconstructing exactly for any range
+    <= 255) and
     parks the jax array; at eval boundaries — where training already pays
     a real sync — all parked grids come back in ONE stacked device_get and
     are written to TB with their original step tags.  Same images, same
@@ -204,7 +206,13 @@ class DeviceVizRing:
                     lo, hi = x.min(), x.max()
                     q = jnp.round((x - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12)))
                     qs.append(q.astype(jnp.uint8).ravel())
-                    scales.extend([lo, hi])
+                    # integer-valued arrays (label maps) must survive the
+                    # round-trip EXACTLY: a dequantized 2.996 for label 3
+                    # would astype(int)-truncate to class 2 downstream.
+                    # Flag them; flush() rounds the reconstruction (exact
+                    # whenever hi-lo <= 255, i.e. any uint8-ranged labels).
+                    is_int = jnp.all(x == jnp.round(x)).astype(jnp.float32)
+                    scales.extend([lo, hi, is_int])
                 return jnp.concatenate(qs), jnp.stack(scales)
 
             self._quantize = jax.jit(_q)
@@ -235,8 +243,9 @@ class DeviceVizRing:
         for (step, _, _), row, sc in zip(self._slots, stacked, scales):
             viz = {}
             for i, k in enumerate(keys):
-                lo, hi = sc[2 * i], sc[2 * i + 1]
+                lo, hi, is_int = sc[3 * i], sc[3 * i + 1], sc[3 * i + 2]
                 q = row[offs[i] : offs[i + 1]].reshape(shapes[i])
-                viz[k] = lo + q.astype(np.float32) * ((hi - lo) / 255.0)
+                v = lo + q.astype(np.float32) * ((hi - lo) / 255.0)
+                viz[k] = np.round(v) if is_int > 0.5 else v
             log_fn(viz, step)
         self._slots.clear()

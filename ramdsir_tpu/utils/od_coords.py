@@ -25,15 +25,20 @@ from scipy import ndimage
 
 
 def peak_local_max(
-    image: np.ndarray, min_distance: int = 1, num_peaks: Optional[int] = None
+    image: np.ndarray,
+    min_distance: int = 1,
+    num_peaks: Optional[int] = None,
+    exclude_border: bool = True,
 ) -> np.ndarray:
     """Coordinates of local maxima, intensity-sorted (skimage semantics).
 
     A pixel is a peak when it equals the maximum of its
     (2*min_distance+1)-box neighbourhood and exceeds the image minimum;
-    peaks closer than min_distance to a stronger accepted peak are
-    suppressed; at most num_peaks (strongest first) are returned as
-    (N, ndim) int indices.
+    peaks within `min_distance` of the border are excluded
+    (skimage's default `exclude_border=True` maps to min_distance);
+    peaks closer than min_distance (Chebyshev — skimage's default
+    p_norm=np.inf) to a stronger accepted peak are suppressed; at most
+    num_peaks (strongest first) are returned as (N, ndim) int indices.
     """
     image = np.asarray(image, dtype=np.float64)
     size = 2 * int(min_distance) + 1
@@ -41,6 +46,12 @@ def peak_local_max(
     candidates = np.argwhere((image == maxed) & (image > image.min()))
     if candidates.size == 0:
         return candidates.reshape(0, image.ndim)
+    if exclude_border and min_distance > 0:
+        lo = np.asarray(candidates) >= min_distance
+        hi = candidates < np.asarray(image.shape) - min_distance
+        candidates = candidates[(lo & hi).all(axis=1)]
+        if candidates.size == 0:
+            return candidates.reshape(0, image.ndim)
     order = np.argsort(image[tuple(candidates.T)])[::-1]
     candidates = candidates[order]
     accepted = []
@@ -125,17 +136,60 @@ def get_centroid(mask: np.ndarray, fill: bool = True) -> Tuple[int, int]:
     return int(c), int(r)
 
 
+def _disk_overlap(r1: float, r2: float, d: float) -> float:
+    """Fraction of the smaller disk's area covered by the larger
+    (skimage.feature.blob._blob_overlap, 2D case): 0 when disjoint, 1 when
+    nested, else the lens area over the smaller disk's area."""
+    if d > r1 + r2:
+        return 0.0
+    if d <= abs(r1 - r2):
+        return 1.0
+    ratio1 = np.clip((d * d + r1 * r1 - r2 * r2) / (2.0 * d * r1), -1.0, 1.0)
+    ratio2 = np.clip((d * d + r2 * r2 - r1 * r1) / (2.0 * d * r2), -1.0, 1.0)
+    a, b = -d + r2 + r1, d - r2 + r1
+    c, dd = d + r2 - r1, d + r2 + r1
+    area = (
+        r1 * r1 * np.arccos(ratio1)
+        + r2 * r2 * np.arccos(ratio2)
+        - 0.5 * np.sqrt(abs(a * b * c * dd))
+    )
+    return float(area / (np.pi * min(r1, r2) ** 2))
+
+
+def _prune_blobs(blobs: np.ndarray, overlap: float) -> np.ndarray:
+    """skimage _prune_blobs: for every overlapping pair (disk radius =
+    sigma * sqrt(2) in 2D) with overlap fraction > `overlap`, zero out the
+    smaller-sigma blob; keep the survivors."""
+    blobs = np.array(blobs, dtype=np.float64)
+    root2 = np.sqrt(2.0)
+    for i in range(len(blobs)):
+        for j in range(i + 1, len(blobs)):
+            b1, b2 = blobs[i], blobs[j]
+            r1, r2 = b1[2] * root2, b2[2] * root2
+            if r1 <= 0 or r2 <= 0:
+                continue
+            d = float(np.hypot(b1[0] - b2[0], b1[1] - b2[1]))
+            if _disk_overlap(r1, r2, d) > overlap:
+                if b1[2] > b2[2]:
+                    b2[2] = 0.0
+                else:
+                    b1[2] = 0.0
+    return blobs[blobs[:, 2] > 0]
+
+
 def blob_log(
     image: np.ndarray,
     min_sigma: float = 1.0,
     max_sigma: float = 50.0,
     num_sigma: int = 10,
     threshold: float = 0.2,
+    overlap: float = 0.5,
 ) -> np.ndarray:
     """Laplacian-of-Gaussian blob detection (skimage.feature.blob_log
     semantics for the parameters od_coords.py uses): returns (N, 3) rows
     of (row, col, sigma) for scale-space maxima of sigma^2 * -LoG above
-    `threshold`."""
+    `threshold`, with blobs overlapping a larger blob by more than
+    `overlap` pruned (skimage default 0.5)."""
     image = np.asarray(image, dtype=np.float64)
     sigmas = np.linspace(min_sigma, max_sigma, num_sigma)
     cube = np.stack(
@@ -150,7 +204,7 @@ def blob_log(
     out = np.empty((len(peaks), 3))
     out[:, :2] = peaks[:, :2]
     out[:, 2] = sigmas[peaks[:, 2]]
-    return out
+    return _prune_blobs(out, overlap)
 
 
 def _rgb2gray(image: np.ndarray) -> np.ndarray:

@@ -96,6 +96,25 @@ def test_viz_ring_defers_and_preserves_grids():
     ring.flush(lambda viz, s: (_ for _ in ()).throw(AssertionError))
 
 
+def test_viz_ring_integer_label_maps_reconstruct_exactly():
+    """A 5-class label map must survive the uint8 round-trip EXACTLY:
+    without the integer flag, label 3 of a 0..4 map dequantizes to 2.996
+    and a downstream astype(int) renders class 2 (silently wrong TB
+    grids).  Integer-valued arrays are flagged on device and rounded at
+    dequant — exact for any value range <= 255."""
+    from ramdsir_tpu.utils.logging import DeviceVizRing
+
+    ring = DeviceVizRing()
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, 5, size=(2, 8, 8)).astype(np.float32)
+    labels.flat[0] = 3.0  # force the problematic class into the map
+    ring.append(7, {"label": jnp.asarray(labels)})
+    got = {}
+    ring.flush(lambda viz, s: got.__setitem__(s, viz))
+    np.testing.assert_array_equal(got[7]["label"], labels)
+    assert np.array_equal(got[7]["label"].astype(int), labels.astype(int))
+
+
 def test_step_timer_mark_without_ticks_is_noop():
     """mark() extends the window only when ticks are pending: the final
     sync+mark after an eval/checkpoint block must NOT fold that non-step

@@ -25,6 +25,34 @@ def test_peak_local_max_min_distance_suppression():
     assert len(coords) == 1
 
 
+def test_peak_local_max_excludes_border_peaks():
+    # skimage default exclude_border=True drops peaks within min_distance
+    # of the border: the STRONGER peak at (10, 64) must be excluded and
+    # the interior one returned
+    pred = _gaussian_blob(128, 10, 64, 4, 1.0) + _gaussian_blob(128, 64, 64, 4, 0.5)
+    coords = oc.peak_local_max(pred, min_distance=30, num_peaks=2)
+    assert len(coords) == 1
+    assert np.allclose(coords[0], (64, 64), atol=2)
+    # opt-out returns the border peak first, like skimage exclude_border=False
+    coords = oc.peak_local_max(pred, min_distance=30, num_peaks=2, exclude_border=False)
+    assert np.allclose(coords[0], (10, 64), atol=2)
+
+
+def test_blob_overlap_pruning():
+    # nested disks: the smaller-sigma blob is pruned (skimage overlap=0.5)
+    blobs = oc._prune_blobs(np.array([[50.0, 50.0, 10.0], [52.0, 52.0, 5.0]]), 0.5)
+    assert blobs.shape == (1, 3) and blobs[0, 2] == 10.0
+    # disjoint disks: both survive
+    blobs = oc._prune_blobs(
+        np.array([[50.0, 50.0, 5.0], [200.0, 200.0, 5.0]]), 0.5
+    )
+    assert blobs.shape == (2, 3)
+    # overlap fraction sanity: nested -> 1, disjoint -> 0, partial in (0, 1)
+    assert oc._disk_overlap(10.0, 5.0, 2.0) == 1.0
+    assert oc._disk_overlap(5.0, 5.0, 20.0) == 0.0
+    assert 0.0 < oc._disk_overlap(5.0, 5.0, 5.0) < 1.0
+
+
 def test_determine_od_prefers_brighter_green():
     img = np.zeros((512, 512, 3))
     img[:, :, 1] = _gaussian_blob(512, 100, 100, 20, 200)  # bright OD
