@@ -244,7 +244,7 @@ def main(dataset: str = "fundus", batch: int = 0, remat: bool = False) -> None:
     )
 
 
-def _wait_for_device(max_wait_s: float = 2400.0, attempt_timeout_s: float = 240.0) -> None:
+def _wait_for_device(max_wait_s: float = 7200.0, attempt_timeout_s: float = 240.0) -> None:
     """Ride out transient relay outages before measuring.
 
     The axon relay occasionally refuses backend setup (UNAVAILABLE) or
