@@ -35,6 +35,7 @@ REF_BASELINE = {"fundus": 76.8, "prostate": 76.8 / 2.25}
 WARMUP_STEPS = 3
 SMALL_STEPS = 5
 BIG_STEPS = 55
+TRACE_STEPS = 10
 
 
 def main_e2e(max_steps: int = 252, dataset: str = "fundus") -> None:
@@ -152,7 +153,10 @@ def main_eval(dataset: str = "fundus") -> None:
     )
 
 
-def main(dataset: str = "fundus", batch: int = 0, remat: bool = False) -> None:
+def main(
+    dataset: str = "fundus", batch: int = 0, remat: bool = False,
+    trace_dir: str = "",
+) -> None:
     import jax
 
     from ramdsir_tpu.utils.cache import enable_persistent_cache
@@ -221,6 +225,13 @@ def main(dataset: str = "fundus", batch: int = 0, remat: bool = False) -> None:
         return time.perf_counter() - t0
 
     run(WARMUP_STEPS, 0)
+    if trace_dir:
+        # op-level breakdown of the bare step program (the e2e/scan program
+        # traces via cli.train --trace_dir); analyze with
+        # benchmarks/trace_ops.py <dir> --steps 10
+        jax.profiler.start_trace(trace_dir)
+        run(TRACE_STEPS, 50)
+        jax.profiler.stop_trace()
     t_small = min(run(SMALL_STEPS, 100), run(SMALL_STEPS, 200))
     t_big = min(run(BIG_STEPS, 300), run(BIG_STEPS, 400))
     dt = (t_big - t_small) / (BIG_STEPS - SMALL_STEPS)
@@ -328,4 +339,5 @@ if __name__ == "__main__":
     elif "--eval" in argv:
         main_eval(dataset=ds)
     else:
-        main(dataset=ds, batch=_opt("--batch"), remat="--remat" in argv)
+        tdir = argv[argv.index("--trace") + 1] if "--trace" in argv else ""
+        main(dataset=ds, batch=_opt("--batch"), remat="--remat" in argv, trace_dir=tdir)
