@@ -38,31 +38,46 @@ BIG_STEPS = 55
 TRACE_STEPS = 10
 
 
-def main_e2e(max_steps: int = 252, dataset: str = "fundus") -> None:
+def main_e2e(
+    max_steps: int = 252, dataset: str = "fundus", image_size: int = 0
+) -> None:
     """END-TO-END training throughput: synthetic dataset tree on disk ->
     fit() with the HBM-resident data pipeline (decode once, then the host
     sends int32 indices only).  Round-1 e2e was 212 img/s, host-bound; the
-    device pipeline removes the host from the hot path."""
+    device pipeline removes the host from the hot path.
+
+    image_size=0 uses the reference sizes (fundus 256, prostate 384); a
+    smaller value is for CPU smoke-drives of this path, not measurement."""
     import tempfile
 
     import jax
 
     from ramdsir_tpu.config import TrainConfig
-    from ramdsir_tpu.data.synthetic import make_fundus_tree, make_prostate_tree
+    from ramdsir_tpu.data.synthetic import (
+        make_fundus_tree,
+        make_prostate_tree,
+        make_prostate_volumes,
+    )
     from ramdsir_tpu.train.loop import fit
 
     root = tempfile.mkdtemp(prefix="bench_e2e_")
     if dataset == "fundus":
+        size = image_size or 256
         # real fundus manifest sizes are 50/99/320 train images; enough
         # images that one epoch is many steps, setup stays bounded
-        make_fundus_tree(root, per_domain_train=64, per_domain_test=2, size=256)
-        extra = dict(image_size=256, test_domain_idx=0, domain_idxs=(1, 2, 3))
-        label = "batch 16, 256x256"
+        make_fundus_tree(root, per_domain_train=64, per_domain_test=2, size=size)
+        extra = dict(image_size=size, test_domain_idx=0, domain_idxs=(1, 2, 3))
+        label = f"batch 16, {size}x{size}"
     else:
         # reference prostate config: batch 10 = 2x5, 384^2, 5 DSBN domains
-        make_prostate_tree(root, per_domain=40, size=384)
-        extra = dict(image_size=384, test_domain_idx=5, domain_idxs=(0, 1, 2, 3, 4))
-        label = "batch 10, 384x384"
+        size = image_size or 384
+        make_prostate_tree(root, per_domain=40, size=size)
+        # fit() always evaluates on the final epoch ("or done",
+        # train/loop.py) and prostate eval reads VOLUMES, not the slice
+        # tree — without these the run dies at the very end
+        make_prostate_volumes(root, per_domain=2, depth=24, size=size)
+        extra = dict(image_size=size, test_domain_idx=5, domain_idxs=(0, 1, 2, 3, 4))
+        label = f"batch 10, {size}x{size}"
     cfg = TrainConfig(
         data_root=root, dataset=dataset, save_path=root + "/run",
         ram=True, rec=True, consistency=True, consistency_type="kd",
@@ -335,7 +350,7 @@ if __name__ == "__main__":
         else "fundus"
     )
     if "--e2e" in argv:
-        main_e2e(max_steps=_opt("--steps", 252), dataset=ds)
+        main_e2e(max_steps=_opt("--steps", 252), dataset=ds, image_size=_opt("--size"))
     elif "--eval" in argv:
         main_eval(dataset=ds)
     else:
