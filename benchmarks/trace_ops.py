@@ -73,11 +73,16 @@ _CATEGORIES = [
 ]
 
 
-def categorize(name: str) -> str:
+def categorize(name: str, hlo_category: str = "") -> str:
+    # TPU traces label every op event with args['hlo_category'] ("convolution
+    # fusion", "loop fusion", "data formatting", ...) — authoritative, use it
+    # verbatim.  The name-prefix heuristics below are the fallback for traces
+    # without the arg (CPU backend, older jax): fusions are named after their
+    # dominant HLO ("%fusion.123 = ... convolution ..."), so test specific
+    # ops before the generic fusion bucket.
+    if hlo_category:
+        return hlo_category
     n = name.lower()
-    # fusions are named after their dominant HLO first (e.g.
-    # "%fusion.123 = ... convolution ..."), so test specific ops before
-    # the generic fusion bucket
     for cat, pat in _CATEGORIES:
         if re.search(pat, n):
             return cat
@@ -85,11 +90,18 @@ def categorize(name: str) -> str:
 
 
 def is_device_track(pid_name: str, tid_name: str) -> bool:
-    """TPU: op events live under a '/device:TPU:N' process on 'XLA Ops' /
-    'TensorCore' threads.  CPU (useful for testing the tool): ops run on
-    the client's 'tf_XLAPjRtCpuClient/...' executor thread."""
+    """TPU: per-op events live under a '/device:TPU:N' process on the
+    'XLA Ops' / 'TensorCore' threads.  The sibling threads must NOT count:
+    'XLA Modules' holds one whole-program event per dispatch (it would
+    double every total), 'Async XLA Ops' holds copy-start/done spans that
+    overlap real ops, and 'Steps'/'TC Overlay'/'Scalar Unit' are overlays.
+    CPU (useful for testing the tool): ops run on the client's
+    'tf_XLAPjRtCpuClient/...' executor thread."""
     s = f"{pid_name} {tid_name}".lower()
-    if any(k in s for k in ("python", "steps", "framework")):
+    if any(
+        k in s
+        for k in ("python", "steps", "framework", "module", "async", "overlay", "scalar unit")
+    ):
         return False
     return any(k in s for k in ("tensorcore", "xla ops", "xlapjrt", "/device:"))
 
@@ -133,7 +145,7 @@ def main(argv=None) -> int:
             continue
         dur = float(e["dur"])
         by_op[name] += dur
-        by_cat[categorize(name)] += dur
+        by_cat[categorize(name, e.get("args", {}).get("hlo_category", ""))] += dur
         total_us += dur
         n_events += 1
 

@@ -31,3 +31,23 @@ def test_pool_backward_not_bucketed_as_scatter():
 def test_specific_ops_win_over_fusion_bucket():
     assert trace_ops.categorize("fusion.1 convolution.2") == "convolution"
     assert trace_ops.categorize("loop_fusion.5") == "loop/elementwise fusion"
+
+
+def test_hlo_category_arg_is_authoritative():
+    # TPU traces put the truth in args['hlo_category']; bare "fusion.N"
+    # names say nothing (a convolution fusion would otherwise land in the
+    # elementwise bucket)
+    assert trace_ops.categorize("fusion.2484", "convolution fusion") == "convolution fusion"
+    assert trace_ops.categorize("fusion.97", "loop fusion") == "loop fusion"
+    assert trace_ops.categorize("copy.2303", "") == "data formatting"
+
+
+def test_module_and_async_tracks_are_dropped():
+    # 'XLA Modules' carries one whole-program span per dispatch (would
+    # double every total); 'Async XLA Ops' spans overlap real ops
+    assert trace_ops.is_device_track("/device:TPU:0", "XLA Ops")
+    assert not trace_ops.is_device_track("/device:TPU:0", "XLA Modules")
+    assert not trace_ops.is_device_track("/device:TPU:0", "Async XLA Ops")
+    assert not trace_ops.is_device_track("/device:TPU:0", "Steps")
+    assert not trace_ops.is_device_track("/device:TPU:0", "TC Overlay")
+    assert not trace_ops.is_device_track("/device:TPU:0", "Scalar Unit")
