@@ -243,27 +243,32 @@ class Blur:
 
 
 class Sharpness:
-    """p=0.5 sharpness enhance U(0, 2) (transform.py:280-289)."""
+    """p=0.2 sharpness enhance with factor U(0.05, 0.95)
+    (transform.py:280-289, parameter-exact)."""
 
-    def __init__(self, rng: Optional[np.random.Generator] = None):
+    def __init__(self, p: float = 0.2, rng: Optional[np.random.Generator] = None):
+        self.p = p
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, sample: Sample) -> Sample:
-        if self.rng.random() < 0.5:
-            v = float(self.rng.uniform(0.0, 2.0))
+        if self.rng.random() < self.p:
+            v = float(self.rng.uniform(0.05, 0.95))
             return _apply_imgs(sample, lambda im: ImageEnhance.Sharpness(im).enhance(v))
         return sample
 
 
 class Solarize:
-    """p=0.5 solarize with threshold U(0, 256) (transform.py:292-301)."""
+    """p=0.2 solarize with threshold randint(0, 256) INCLUSIVE
+    (transform.py:292-301, parameter-exact — threshold 256 is reachable and
+    is a no-op for uint8 pixels)."""
 
-    def __init__(self, rng: Optional[np.random.Generator] = None):
+    def __init__(self, p: float = 0.2, rng: Optional[np.random.Generator] = None):
+        self.p = p
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, sample: Sample) -> Sample:
-        if self.rng.random() < 0.5:
-            t = int(self.rng.uniform(0, 256))
+        if self.rng.random() < self.p:
+            t = int(self.rng.integers(0, 257))  # randint(0, 256) inclusive
             return _apply_imgs(sample, lambda im: ImageOps.solarize(im, t))
         return sample
 
@@ -446,19 +451,73 @@ def image_out_painting_rand_constant(
     return _out_painting(img, rng, lambda shape: np.ones(shape) * 255 * rng.random())
 
 
-def get_boundary(mask: np.ndarray, width: int = 2) -> np.ndarray:
-    """Binary boundary band via erosion/dilation (transform.py:377-400)."""
-    mask = np.asarray(mask).astype(bool)
-    dil = ndimage.binary_dilation(mask, iterations=width)
-    ero = ndimage.binary_erosion(mask, iterations=width, border_value=0)
-    return (dil & ~ero).astype(np.float32)
+def _boundary_band(plane: np.ndarray, width: int) -> np.ndarray:
+    """dilate^width + erode^width, zeroing the ==2 interior — the reference's
+    symmetric boundary band (transform.py:382-390)."""
+    dila = ndimage.binary_dilation(plane, iterations=width).astype(plane.dtype)
+    eros = ndimage.binary_erosion(plane, iterations=width).astype(plane.dtype)
+    band = dila + eros
+    band[band == 2] = 0
+    return band
 
 
-def get_contour_bg(mask: np.ndarray, width: int = 2) -> np.ndarray:
-    """(contour, background) channels (transform.py:403-436 semantics)."""
-    contour = get_boundary(mask, width)
-    bg = (~np.asarray(mask).astype(bool)).astype(np.float32)
-    return np.stack([contour, bg], axis=-1)
+class GetBoundary:
+    """(H, W, 2) [cup, disc] multilabel -> uint8 union boundary band
+    (transform.py:377-394, parameter-exact: width=5)."""
+
+    def __init__(self, width: int = 5):
+        self.width = width
+
+    def __call__(self, mask: np.ndarray) -> np.ndarray:
+        cup = _boundary_band(mask[:, :, 0], self.width)
+        disc = _boundary_band(mask[:, :, 1], self.width)
+        return ((cup + disc) > 0).astype(np.uint8)
+
+
+class GetBoundary_Single:
+    """Single-plane variant (transform.py:396-406)."""
+
+    def __init__(self, width: int = 5):
+        self.width = width
+
+    def __call__(self, mask: np.ndarray) -> np.ndarray:
+        return (_boundary_band(mask, self.width) > 0).astype(np.uint8)
+
+
+class GetContourBg:
+    """(H, W, 2) [cup, disc] multilabel ->
+    (cup_contour, cup_bg, disc_contour, disc_bg) 4-tuple
+    (transform.py:408-426, parameter-exact: bg_width=5, ct_width=1).
+
+    contour = mask - erode^ct_width(mask); bg = dilate^bg_width(mask) - mask,
+    computed in the mask's own dtype like the reference."""
+
+    def __init__(self, bg_width: int = 5, ct_width: int = 1):
+        self.bg_width = bg_width
+        self.ct_width = ct_width
+
+    def __call__(self, mask: np.ndarray):
+        outs = []
+        for ch in (0, 1):  # cup, disc
+            plane = mask[:, :, ch]
+            dila = ndimage.binary_dilation(plane, iterations=self.bg_width).astype(plane.dtype)
+            eros = ndimage.binary_erosion(plane, iterations=self.ct_width).astype(plane.dtype)
+            outs.append(plane - eros)  # contour
+            outs.append(dila - plane)  # bg
+        return outs[0], outs[1], outs[2], outs[3]
+
+
+class GetContourBg_Single:
+    """Single-plane (contour, bg) variant (transform.py:428-436)."""
+
+    def __init__(self, bg_width: int = 5, ct_width: int = 1):
+        self.bg_width = bg_width
+        self.ct_width = ct_width
+
+    def __call__(self, mask: np.ndarray):
+        dila = ndimage.binary_dilation(mask, iterations=self.bg_width).astype(mask.dtype)
+        eros = ndimage.binary_erosion(mask, iterations=self.ct_width).astype(mask.dtype)
+        return mask - eros, dila - mask
 
 
 class Normalize:

@@ -41,11 +41,15 @@ def count_params(variables: Any) -> float:
 
 
 def kaiming_normal_fanout(activation: str = "relu"):
-    """torch nn.init.kaiming_normal_(mode='fan_out', nonlinearity=...)."""
-    if activation == "relu":
-        gain = math.sqrt(2.0)
-    else:  # leaky_relu with torch's default a (sqrt(5) is for conv default, here a=0.01)
-        gain = math.sqrt(2.0 / (1.0 + 0.01 ** 2))
+    """torch nn.init.kaiming_normal_(mode='fan_out', nonlinearity=...).
+
+    The reference (unet.py:259 etc.) calls kaiming_normal_ with its default
+    a=0, which calculate_gain turns into sqrt(2/(1+0^2)) = sqrt(2) for BOTH
+    'relu' and 'leaky_relu' — the 0.01 negative slope of the activation is
+    NOT reflected in the init gain.
+    """
+    del activation  # gain is sqrt(2) for every nonlinearity the zoo uses
+    gain = math.sqrt(2.0)
 
     def init(key, shape, dtype=jnp.float32):
         # flax conv kernel shape: (kh, kw, in_ch, out_ch); fan_out = kh*kw*out

@@ -61,6 +61,39 @@ def amplitude_spectrum(img: jax.Array, half: bool = True) -> jax.Array:
     return jnp.abs(fft)
 
 
+def band_halfwidth(h: int, w: int, L: float = 0.1) -> int:
+    """b = floor(min(h, w) * L) (fundus.py:26)."""
+    return int(np.floor(min(h, w) * L))
+
+
+def banded_amplitude_spectrum(pool: jax.Array, L: float = 0.1, chunk: int = 64) -> jax.Array:
+    """Donor-pool amplitudes restricted to the mixed band — precomputed ONCE
+    per run instead of re-running rfft2 on the gathered donor batch inside
+    every train step (the donors are a fixed HBM-resident pool, so their
+    spectra never change; the reference recomputes per sample on the CPU,
+    fundus.py:203-214).
+
+    In unshifted rfft2 coordinates the band `low_freq_band_mask` marks is two
+    rectangles: rows [0..b] u [h-b..h-1], cols [0..b] (the high column block
+    w-b..w-1 lies outside the half spectrum).  Only those (2b+1)x(b+1) values
+    participate in the mix, so the precomputed pool is ~25x smaller than the
+    full half spectrum (256^2: 51x26 of 256x129 per channel).
+
+    Returns (N, 2b+1, b+1, C) float32: rows [0..b] then rows [h-b..h-1].
+    Chunked so the transient complex spectrum stays ~chunk*H*W*C*8 bytes.
+    """
+    n, h, w, c = pool.shape
+    b = band_halfwidth(h, w, L)
+
+    @jax.jit
+    def one_chunk(x):
+        amp = jnp.abs(jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2)))
+        return jnp.concatenate([amp[:, : b + 1, : b + 1], amp[:, h - b :, : b + 1]], axis=1)
+
+    outs = [one_chunk(pool[i : i + chunk]) for i in range(0, n, chunk)]
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def sample_ram_ratios(key: jax.Array, batch: int) -> jax.Array:
     """Per-sample mix ratio ~ randint(1,10)/10 (fundus.py:35)."""
     return jax.random.randint(key, (batch,), 1, 11).astype(jnp.float32) / 10.0
@@ -109,6 +142,56 @@ def ram_mixup(
     else:
         mixed = _mix_spectrum(fft_src, donor_amp, ratio, mask)
     return jnp.fft.irfft2(mixed, s=(h, w), axes=(1, 2))
+
+
+def _mix_block(blk: jax.Array, amp_trg: jax.Array, r: jax.Array) -> jax.Array:
+    """`_mix_spectrum` restricted to an all-in-band block (no mask)."""
+    amp_src = jnp.abs(blk)
+    new_amp = r * amp_src + (1.0 - r) * amp_trg
+    safe = jnp.maximum(amp_src, jnp.finfo(amp_src.dtype).tiny)
+    scaled = blk * (new_amp / safe).astype(blk.dtype)
+    return jnp.where(amp_src == 0.0, new_amp.astype(blk.dtype), scaled)
+
+
+def ram_mixup_banded(
+    src: jax.Array, donor_amp_band: jax.Array, ratio: jax.Array, L: float = 0.1
+) -> jax.Array:
+    """RAM with precomputed banded donor amplitudes (see
+    `banded_amplitude_spectrum`).  Numerically identical to `ram_mixup`:
+    outside the band `_mix_spectrum` computes fft * (amp/amp) == fft exactly
+    (IEEE x/x = 1 for finite nonzero x, and the zero branch returns the
+    unchanged amplitude), so restricting the mix to the band's two rectangles
+    changes nothing while skipping the donor rfft2 and the full-spectrum
+    where entirely.
+    """
+    _, h, w, _ = src.shape
+    b = band_halfwidth(h, w, L)
+    fft = jnp.fft.rfft2(src.astype(jnp.float32), axes=(1, 2))
+    r = ratio.reshape((-1,) + (1,) * (fft.ndim - 1))
+    top = _mix_block(fft[:, : b + 1, : b + 1], donor_amp_band[:, : b + 1], r)
+    bot = _mix_block(fft[:, h - b :, : b + 1], donor_amp_band[:, b + 1 :], r)
+    fft = fft.at[:, : b + 1, : b + 1].set(top)
+    fft = fft.at[:, h - b :, : b + 1].set(bot)
+    return jnp.fft.irfft2(fft, s=(h, w), axes=(1, 2))
+
+
+def ram_augment_fundus_banded(
+    img255: jax.Array, donor_amp_band: jax.Array, key: jax.Array, L: float = 0.1
+) -> Tuple[jax.Array, jax.Array]:
+    """`ram_augment_fundus` with the donor FFT hoisted out of the step."""
+    ratio = sample_ram_ratios(key, img255.shape[0])
+    freq = ram_mixup_banded(img255, donor_amp_band, ratio, L)
+    freq = jnp.clip(freq, 0.0, 255.0)
+    return img255 / 127.5 - 1.0, freq / 127.5 - 1.0
+
+
+def ram_augment_prostate_banded(
+    img: jax.Array, donor_amp_band: jax.Array, key: jax.Array, L: float = 0.1
+) -> Tuple[jax.Array, jax.Array]:
+    """`ram_augment_prostate` with the donor FFT hoisted out of the step."""
+    ratio = sample_ram_ratios(key, img.shape[0])
+    freq = ram_mixup_banded(img, donor_amp_band, ratio, L)
+    return img.astype(jnp.float32), jnp.clip(freq, -1.0, 1.0)
 
 
 def ram_augment_fundus(

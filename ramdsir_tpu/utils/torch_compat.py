@@ -18,6 +18,23 @@ from typing import Any, Dict
 import numpy as np
 
 
+# flax auto-names norm submodules by class; a param path containing one of
+# these parts belongs to a norm layer, everything else is a conv.  This is a
+# STRUCTURAL check (module-class prefixes on whole path parts), not a
+# substring match — a conv field named e.g. `bn_adapter` can't misroute.
+_NORM_MODULE_PREFIXES = (
+    "BatchNorm",
+    "DomainSpecificBatchNorm",
+    "GroupNorm",
+    "InstanceNorm",
+    "LayerNorm",
+)
+
+
+def _is_norm_path(parts) -> bool:
+    return any(p.startswith(_NORM_MODULE_PREFIXES) for p in parts)
+
+
 def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
     out = {}
     for k, v in tree.items():
@@ -46,11 +63,11 @@ def flax_module_to_torch_sd(params: Dict, batch_stats: Dict) -> Dict[str, np.nda
         if parts[-1] == "kernel":  # conv: (kh,kw,in,out) -> (out,in,kh,kw)
             name = ".".join(parts[:-1]) + ".weight"
             sd[name] = arr.transpose(3, 2, 0, 1)
-        elif parts[-1] == "bias" and len(arr.shape) == 1 and "bn" not in path and "BatchNorm" not in path and "DomainSpecific" not in path:
+        elif parts[-1] == "bias" and not _is_norm_path(parts):
             sd[".".join(parts[:-1]) + ".bias"] = arr
         elif parts[-1] in ("scale", "bias"):
             # norm affine: flax 'bn1.BatchNorm_0.scale' -> torch 'bn1.weight'
-            base = [p for p in parts[:-1] if not p.startswith(("BatchNorm", "DomainSpecificBatchNorm", "GroupNorm"))]
+            base = [p for p in parts[:-1] if not p.startswith(_NORM_MODULE_PREFIXES)]
             suffix = "weight" if parts[-1] == "scale" else "bias"
             if "DomainSpecificBatchNorm" in path:
                 for d in range(arr.shape[0]):
@@ -61,7 +78,7 @@ def flax_module_to_torch_sd(params: Dict, batch_stats: Dict) -> Dict[str, np.nda
             sd[path] = arr
     for path, arr in _flatten(batch_stats).items():
         parts = path.split(".")
-        base = [p for p in parts[:-1] if not p.startswith(("BatchNorm", "DomainSpecificBatchNorm"))]
+        base = [p for p in parts[:-1] if not p.startswith(_NORM_MODULE_PREFIXES)]
         suffix = "running_mean" if parts[-1] == "mean" else "running_var"
         if "DomainSpecificBatchNorm" in path:
             for d in range(arr.shape[0]):
@@ -84,10 +101,8 @@ def torch_sd_to_flax(sd: Dict[str, Any], params_template: Dict, stats_template: 
         if parts[-1] == "kernel":
             t = sd[".".join(parts[:-1]) + ".weight"]
             _set_path(new_p, path, t.transpose(2, 3, 1, 0).astype(arr.dtype))
-        elif parts[-1] in ("scale", "bias") and any(
-            p.startswith(("BatchNorm", "DomainSpecificBatchNorm", "GroupNorm")) for p in parts
-        ):
-            base = [p for p in parts[:-1] if not p.startswith(("BatchNorm", "DomainSpecificBatchNorm", "GroupNorm"))]
+        elif parts[-1] in ("scale", "bias") and _is_norm_path(parts):
+            base = [p for p in parts[:-1] if not p.startswith(_NORM_MODULE_PREFIXES)]
             suffix = "weight" if parts[-1] == "scale" else "bias"
             if "DomainSpecificBatchNorm" in path:
                 banks = [sd[".".join(base) + f".bns.{d}.{suffix}"] for d in range(arr.shape[0])]
@@ -98,7 +113,7 @@ def torch_sd_to_flax(sd: Dict[str, Any], params_template: Dict, stats_template: 
             _set_path(new_p, path, sd[path].astype(arr.dtype))
     for path, arr in flat_s.items():
         parts = path.split(".")
-        base = [p for p in parts[:-1] if not p.startswith(("BatchNorm", "DomainSpecificBatchNorm"))]
+        base = [p for p in parts[:-1] if not p.startswith(_NORM_MODULE_PREFIXES)]
         suffix = "running_mean" if parts[-1] == "mean" else "running_var"
         if "DomainSpecificBatchNorm" in path:
             banks = [sd[".".join(base) + f".bns.{d}.{suffix}"] for d in range(arr.shape[0])]

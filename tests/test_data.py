@@ -437,3 +437,115 @@ def test_fundus_multi_test_split(data_root):
     assert it["img"].shape == (32, 32, 3)
     assert it["mask_orig"].shape == (48, 48, 2)
     assert isinstance(it["id"], str) and "Domain" in it["id"]
+
+
+class _RecordingRng:
+    """Duck-typed rng wrapper that records every draw (for parameter tests)."""
+
+    def __init__(self, seed=0):
+        self._g = np.random.default_rng(seed)
+        self.calls = []
+
+    def random(self, *a, **k):
+        v = self._g.random(*a, **k)
+        self.calls.append(("random", v))
+        return v
+
+    def uniform(self, lo, hi, *a, **k):
+        v = self._g.uniform(lo, hi, *a, **k)
+        self.calls.append(("uniform", lo, hi, v))
+        return v
+
+    def integers(self, lo, hi, *a, **k):
+        v = self._g.integers(lo, hi, *a, **k)
+        self.calls.append(("integers", lo, hi, v))
+        return v
+
+
+def test_sharpness_reference_params():
+    """Sharpness: p=0.2 gate, factor U(0.05, 0.95) (transform.py:280-289)."""
+    from ramdsir_tpu.data.transforms import Sharpness
+
+    rng = _RecordingRng(1)
+    t = Sharpness(rng=rng)
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (16, 16, 3), np.uint8))
+    applied = 0
+    for _ in range(3000):
+        rng.calls.clear()
+        t({"img": img, "mask": None})
+        if len(rng.calls) > 1:  # gate passed -> a uniform draw happened
+            applied += 1
+            kind, lo, hi, v = rng.calls[1]
+            assert kind == "uniform" and (lo, hi) == (0.05, 0.95)
+            assert 0.05 <= v <= 0.95
+    assert 0.15 < applied / 3000 < 0.25  # p = 0.2
+
+
+def test_solarize_reference_params():
+    """Solarize: p=0.2 gate, threshold randint(0,256) INCLUSIVE
+    (transform.py:292-301)."""
+    from ramdsir_tpu.data.transforms import Solarize
+
+    rng = _RecordingRng(2)
+    t = Solarize(rng=rng)
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (16, 16, 3), np.uint8))
+    applied = 0
+    thresholds = []
+    for _ in range(3000):
+        rng.calls.clear()
+        t({"img": img, "mask": None})
+        if len(rng.calls) > 1:
+            applied += 1
+            kind, lo, hi, v = rng.calls[1]
+            assert kind == "integers" and (lo, hi) == (0, 257)
+            thresholds.append(int(v))
+    assert 0.15 < applied / 3000 < 0.25
+    assert max(thresholds) > 250 and min(thresholds) < 6  # spans 0..256
+
+
+def test_boundary_contour_reference_contract():
+    """GetBoundary/GetContourBg match the reference widths and contracts
+    (transform.py:377-436): width=5 symmetric band = dilation XOR erosion,
+    contour = mask - erode^1, bg = dilate^5 - mask, 4-tuple return."""
+    from scipy import ndimage as ndi
+
+    from ramdsir_tpu.data.transforms import (
+        GetBoundary,
+        GetBoundary_Single,
+        GetContourBg,
+        GetContourBg_Single,
+    )
+
+    rng = np.random.default_rng(3)
+    # two blobby binary planes [cup, disc]
+    base = (ndi.gaussian_filter(rng.random((64, 64)), 6) > 0.5)
+    cup = ndi.binary_erosion(base, iterations=3).astype(np.float32)
+    disc = base.astype(np.float32)
+    mask = np.stack([cup, disc], axis=-1)
+
+    b = GetBoundary()(mask)
+    assert b.dtype == np.uint8 and b.shape == (64, 64)
+    expect = np.zeros((64, 64), bool)
+    for plane in (cup, disc):
+        d = ndi.binary_dilation(plane, iterations=5)
+        e = ndi.binary_erosion(plane, iterations=5)
+        expect |= d ^ e  # band where exactly one of (dil, ero) holds
+    np.testing.assert_array_equal(b.astype(bool), expect)
+    np.testing.assert_array_equal(GetBoundary_Single()(cup).astype(bool),
+                                  ndi.binary_dilation(cup, iterations=5)
+                                  ^ ndi.binary_erosion(cup, iterations=5))
+
+    out = GetContourBg()(mask)
+    assert isinstance(out, tuple) and len(out) == 4
+    cup_ct, cup_bg, disc_ct, disc_bg = out
+    np.testing.assert_array_equal(
+        cup_ct, cup - ndi.binary_erosion(cup, iterations=1).astype(np.float32))
+    np.testing.assert_array_equal(
+        cup_bg, ndi.binary_dilation(cup, iterations=5).astype(np.float32) - cup)
+    np.testing.assert_array_equal(
+        disc_ct, disc - ndi.binary_erosion(disc, iterations=1).astype(np.float32))
+    np.testing.assert_array_equal(
+        disc_bg, ndi.binary_dilation(disc, iterations=5).astype(np.float32) - disc)
+    sct, sbg = GetContourBg_Single()(disc)
+    np.testing.assert_array_equal(sct, disc_ct)
+    np.testing.assert_array_equal(sbg, disc_bg)

@@ -221,3 +221,27 @@ def test_train_mode_bn_parity(enc_pair):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w, atol=5e-4, rtol=1e-3)
     tenc.eval()
+
+
+def test_kaiming_init_statistics_vs_torch():
+    """kaiming_normal_fanout matches torch kaiming_normal_(mode='fan_out')
+    for BOTH 'relu' and 'leaky_relu' — torch's default a=0 makes the gain
+    sqrt(2) in both cases (reference unet.py:259)."""
+    import math
+
+    import jax
+    import numpy as np
+    import torch
+
+    from ramdsir_tpu.models.unet import kaiming_normal_fanout
+
+    for act in ("relu", "leaky_relu"):
+        t = torch.empty(256, 128, 3, 3)
+        torch.manual_seed(0)
+        torch.nn.init.kaiming_normal_(t, mode="fan_out", nonlinearity=act)
+        torch_std = t.std().item()
+        k = kaiming_normal_fanout(act)(jax.random.PRNGKey(0), (3, 3, 128, 256))
+        ours_std = float(np.asarray(k).std())
+        expect = math.sqrt(2.0) / math.sqrt(3 * 3 * 256)
+        assert abs(torch_std - expect) / expect < 0.02
+        assert abs(ours_std - expect) / expect < 0.02
