@@ -170,8 +170,8 @@ def main_eval(dataset: str = "fundus") -> None:
 
 def main(
     dataset: str = "fundus", batch: int = 0, remat: bool = False,
-    trace_dir: str = "",
-) -> None:
+    trace_dir: str = "", donor_amp: bool = True, pallas: bool = False,
+) -> dict:
     import jax
 
     from ramdsir_tpu.utils.cache import enable_persistent_cache
@@ -191,6 +191,10 @@ def main(
         # builds its grids on HOST only every 100 iters; e2e keeps them)
         log_images_every=0,
         remat=remat,
+        # --pallas implies the legacy donor-image path (the fused Pallas mix
+        # operates on the full half-spectrum; the banded default has no
+        # per-step donor spectrum to fuse)
+        ram_use_pallas=pallas,
         **(
             dict(image_size=256, domain_idxs=(0, 1, 2), test_domain_idx=0)
             if is_fundus
@@ -220,6 +224,13 @@ def main(
             "donor": rng.uniform(-1, 1, (batch_size, s, s, 3)).astype(np.float32),
             "mask": rng.integers(0, 2, (batch_size, s, s)).astype(np.int32),
         }
+    if donor_amp:
+        # default pipeline semantics: donor spectra are precomputed once per
+        # run (ops/ram.banded_amplitude_spectrum), not rfft2-ed per step;
+        # --donor_img measures the legacy in-step donor-FFT path
+        from ramdsir_tpu.ops.ram import banded_amplitude_spectrum
+
+        batch_np["donor_amp"] = np.asarray(banded_amplitude_spectrum(batch_np.pop("donor")))
     batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
     key = jax.random.PRNGKey(1)
@@ -252,22 +263,20 @@ def main(
     dt = (t_big - t_small) / (BIG_STEPS - SMALL_STEPS)
 
     imgs_per_sec = batch_size / dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{dataset} RAM-DSIR train throughput "
-                    f"(batch {batch_size}, {s}x{s}, bf16 compute"
-                    + (", remat" if remat else "")
-                    + ")"
-                ),
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / REF_BASELINE[dataset], 3),
-                "ms_per_step": round(dt * 1000, 2),
-            }
-        )
-    )
+    return {
+        "metric": (
+            f"{dataset} RAM-DSIR train throughput "
+            f"(batch {batch_size}, {s}x{s}, bf16 compute"
+            + (", remat" if remat else "")
+            + (", donor-img FFT in step" if not donor_amp else "")
+            + (", pallas mix" if pallas else "")
+            + ")"
+        ),
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / REF_BASELINE[dataset], 3),
+        "ms_per_step": round(dt * 1000, 2),
+    }
 
 
 def _wait_for_device(max_wait_s: float = 7200.0, attempt_timeout_s: float = 240.0) -> None:
@@ -353,6 +362,21 @@ if __name__ == "__main__":
         main_e2e(max_steps=_opt("--steps", 252), dataset=ds, image_size=_opt("--size"))
     elif "--eval" in argv:
         main_eval(dataset=ds)
-    else:
+    elif argv:
         tdir = argv[argv.index("--trace") + 1] if "--trace" in argv else ""
-        main(dataset=ds, batch=_opt("--batch"), remat="--remat" in argv, trace_dir=tdir)
+        use_pallas = "--pallas" in argv
+        print(json.dumps(main(
+            dataset=ds, batch=_opt("--batch"), remat="--remat" in argv,
+            trace_dir=tdir, pallas=use_pallas,
+            donor_amp="--donor_img" not in argv and not use_pallas,
+        )))
+    else:
+        # the driver's default invocation: ONE JSON line carrying the
+        # flagship fundus step (headline metric) AND the prostate step
+        # (nested) so both datasets land in BENCH_rXX.json
+        fundus = main(dataset="fundus")
+        prostate = main(dataset="prostate")
+        fundus["prostate"] = {
+            k: prostate[k] for k in ("metric", "value", "unit", "vs_baseline", "ms_per_step")
+        }
+        print(json.dumps(fundus))

@@ -74,6 +74,10 @@ class TrainConfig:
     predict_dtype: str = "float32"
     num_devices: Optional[int] = None  # data-parallel shard count (None=all)
     ram_use_pallas: bool = False  # fuse the band-mix with a Pallas kernel
+    # device pipeline: precompute the donor pool's banded amplitude spectra
+    # once per run instead of rfft2-ing the gathered donor batch every step
+    # (ops/ram.banded_amplitude_spectrum; numerics identical)
+    ram_precompute_donor_amp: bool = True
     remat: bool = False  # jax.checkpoint the dual forward (memory <-> FLOPs)
     fused_dsbn: bool = True  # one rec-decoder pass with per-sample domains
     # one vmapped forward over the stacked clean+freq batch (2B conv rows);
@@ -126,6 +130,11 @@ class TrainConfig:
                 cfg.lr = cfg.lr * cfg.global_batch / ref_total
         if cfg.num_classes is None:
             cfg.num_classes = DATASET_NUM_CLASSES[cfg.dataset]
+        if cfg.ram_use_pallas:
+            # the fused Pallas band-mix consumes the per-step donor
+            # half-spectrum; precomputed banded amplitudes would silently
+            # bypass it (train/steps.py branches on the batch key)
+            cfg.ram_precompute_donor_amp = False
         return cfg
 
     def _reference_batch_list(self) -> List[int]:

@@ -87,6 +87,7 @@ class DeviceFundusPipeline:
         test_domain_idx: Optional[int],
         is_out_domain: bool = False,
         seed: Optional[int] = None,
+        precompute_donor_amp: bool = True,
     ):
         from ramdsir_tpu.config import FUNDUS_DOMAINS
 
@@ -106,8 +107,17 @@ class DeviceFundusPipeline:
         self.device_data = {
             "images": jnp.asarray(images),
             "masks": jnp.asarray(masks),
-            "donors": jnp.asarray(donors),
         }
+        if precompute_donor_amp:
+            # donor spectra are fixed for the run: precompute the banded
+            # amplitudes ONCE instead of rfft2-ing the gathered donor batch
+            # inside every train step (and drop the uint8 donor images —
+            # the band pool is ~12 MB vs ~148 MB at 256^2)
+            from ramdsir_tpu.ops.ram import banded_amplitude_spectrum
+
+            self.device_data["donor_amp"] = banded_amplitude_spectrum(jnp.asarray(donors))
+        else:
+            self.device_data["donors"] = jnp.asarray(donors)
         # domain name of each dataset (single-domain datasets, loop.py)
         self.ds_domains: List[str] = [
             FUNDUS_DOMAINS[ds.domain_idx_list[0]] for ds in datasets
@@ -241,12 +251,17 @@ def device_scale_crop(imgs, masks, key, size: int):
 
 def gather_and_augment(device_data: Dict[str, jax.Array], img_idx, donor_idx, key, size: int):
     """Inside-jit: indices -> the exact batch dict the host loader builds
-    (img float [0,255], donor float [0,255], mask float multilabel)."""
+    (img float [0,255], mask float multilabel, plus either the donor image
+    [0,255] or its precomputed banded amplitude spectrum)."""
     imgs = jnp.take(device_data["images"], img_idx, axis=0)
     masks = jnp.take(device_data["masks"], img_idx, axis=0)
-    donors = jnp.take(device_data["donors"], donor_idx, axis=0).astype(jnp.float32)
     out_i, out_m = device_scale_crop(imgs, masks, key, size)
-    return {"img": out_i, "donor": donors, "mask": out_m.astype(jnp.float32)}
+    batch = {"img": out_i, "mask": out_m.astype(jnp.float32)}
+    if "donor_amp" in device_data:
+        batch["donor_amp"] = jnp.take(device_data["donor_amp"], donor_idx, axis=0)
+    else:
+        batch["donor"] = jnp.take(device_data["donors"], donor_idx, axis=0).astype(jnp.float32)
+    return batch
 
 
 class DeviceProstatePipeline:
@@ -269,6 +284,7 @@ class DeviceProstatePipeline:
         test_domain_idx: Optional[int],
         is_out_domain: bool = False,
         seed: Optional[int] = None,
+        precompute_donor_amp: bool = True,
     ):
         import os
 
@@ -305,6 +321,14 @@ class DeviceProstatePipeline:
             "images": jnp.asarray(np.stack(imgs)),
             "masks": jnp.asarray(np.stack(msks)),
         }
+        if precompute_donor_amp:
+            # the donor pool IS the slice stack; banded amplitudes are
+            # ~36 KB per 384^2 slice vs a per-step rfft2 of the donor batch
+            from ramdsir_tpu.ops.ram import banded_amplitude_spectrum
+
+            self.device_data["donor_amp"] = banded_amplitude_spectrum(
+                self.device_data["images"]
+            )
 
         self.ds_domains: List[str] = [
             PROSTATE_DOMAINS[ds.domain_idx_list[0]] for ds in datasets
@@ -364,11 +388,15 @@ class DeviceProstatePipeline:
 
 
 def gather_prostate(device_data: Dict[str, jax.Array], img_idx, donor_idx):
-    """Inside-jit: indices -> the host loader's batch dict (img/donor float32
-    [-1,1], mask int32).  No augmentation — prostate trains on raw slices
-    (train.py:540-542)."""
-    return {
+    """Inside-jit: indices -> the host loader's batch dict (img float32
+    [-1,1], mask int32, donor image or precomputed banded amplitude).  No
+    augmentation — prostate trains on raw slices (train.py:540-542)."""
+    batch = {
         "img": jnp.take(device_data["images"], img_idx, axis=0),
-        "donor": jnp.take(device_data["images"], donor_idx, axis=0),
         "mask": jnp.take(device_data["masks"], img_idx, axis=0).astype(jnp.int32),
     }
+    if "donor_amp" in device_data:
+        batch["donor_amp"] = jnp.take(device_data["donor_amp"], donor_idx, axis=0)
+    else:
+        batch["donor"] = jnp.take(device_data["images"], donor_idx, axis=0)
+    return batch

@@ -84,14 +84,21 @@ def banded_amplitude_spectrum(pool: jax.Array, L: float = 0.1, chunk: int = 64) 
     """
     n, h, w, c = pool.shape
     b = band_halfwidth(h, w, L)
+    chunk = min(chunk, n)
 
     @jax.jit
     def one_chunk(x):
         amp = jnp.abs(jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2)))
         return jnp.concatenate([amp[:, : b + 1, : b + 1], amp[:, h - b :, : b + 1]], axis=1)
 
-    outs = [one_chunk(pool[i : i + chunk]) for i in range(0, n, chunk)]
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    # equal-size chunks (zero-pad the tail): ONE compiled program shape —
+    # compiles cost ~75-85 s each over the axon relay
+    pad = (-n) % chunk
+    if pad:
+        pool = jnp.concatenate([pool, jnp.zeros((pad,) + pool.shape[1:], pool.dtype)])
+    outs = [one_chunk(pool[i : i + chunk]) for i in range(0, n + pad, chunk)]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return out[:n]
 
 
 def sample_ram_ratios(key: jax.Array, batch: int) -> jax.Array:

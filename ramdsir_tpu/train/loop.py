@@ -83,12 +83,14 @@ def build_train_loaders(
             return DeviceFundusPipeline(
                 datasets, bsl[: len(datasets)], data_root, cfg.image_size,
                 cfg.test_domain_idx, is_out_domain=cfg.is_out_domain, seed=seed,
+                precompute_donor_amp=cfg.ram_precompute_donor_amp and cfg.ram,
             )
         from ramdsir_tpu.data.device_pipeline import DeviceProstatePipeline
 
         return DeviceProstatePipeline(
             datasets, bsl[: len(datasets)], data_root,
             cfg.test_domain_idx, is_out_domain=cfg.is_out_domain, seed=seed,
+            precompute_donor_amp=cfg.ram_precompute_donor_amp and cfg.ram,
         )
     keys = ("img", "donor", "mask") if cfg.ram else ("img", "mask")
     if cfg.loader == "process":

@@ -100,10 +100,22 @@ def make_train_step(
         metrics = {}
 
         if cfg.ram:
-            aug = ram_augment_fundus if is_fundus else ram_augment_prostate
-            img, img_freq = aug(
-                batch["img"], batch["donor"], key, use_pallas=cfg.ram_use_pallas
-            )
+            if "donor_amp" in batch:
+                # device pipeline with precomputed banded donor spectra: the
+                # per-step donor rfft2 is gone (ops/ram.py, numerics
+                # identical — tests/test_ram.py::test_banded_mixup_*)
+                from ramdsir_tpu.ops.ram import (
+                    ram_augment_fundus_banded,
+                    ram_augment_prostate_banded,
+                )
+
+                aug_b = ram_augment_fundus_banded if is_fundus else ram_augment_prostate_banded
+                img, img_freq = aug_b(batch["img"], batch["donor_amp"], key)
+            else:
+                aug = ram_augment_fundus if is_fundus else ram_augment_prostate
+                img, img_freq = aug(
+                    batch["img"], batch["donor"], key, use_pallas=cfg.ram_use_pallas
+                )
         else:
             img = batch["img"] / 127.5 - 1.0 if is_fundus else batch["img"]
             img_freq = None
@@ -343,9 +355,13 @@ def make_train_step(
             # raw gradients for oracle tests (tests/test_torch_step_parity.py)
             metrics = dict(metrics, _grads=grads)
         updates, new_opt_state = opt.update(grads, state.opt_state)
-        # poly LR (train.py:289-296); first step uses the base LR like the
-        # reference (its schedule is applied post-step).
-        lr = base_lr * (1.0 - state.step.astype(jnp.float32) / total_iters) ** POLY_POWER
+        # poly LR (train.py:287-296): the reference sets the schedule AFTER
+        # optimizer.step() from the pre-increment iter counter, so step i
+        # executes with lr = base * (1 - max(i-1, 0)/total)^0.9 — steps 0 AND
+        # 1 both run at the base LR.  Replicated exactly (trajectory parity,
+        # tests/test_torch_step_parity.py multi-step).
+        lr_iter = jnp.maximum(state.step.astype(jnp.float32) - 1.0, 0.0)
+        lr = base_lr * (1.0 - lr_iter / total_iters) ** POLY_POWER
         new_params = {}
         for name, tree in updates.items():
             f = group_factor.get(name, 1.0)

@@ -85,7 +85,7 @@ def test_pipeline_plan_and_gather(pipeline):
     steps = list(pipeline)
     assert len(steps) == len(pipeline)
     n_imgs = int(pipeline.device_data["images"].shape[0])
-    n_donors = int(pipeline.device_data["donors"].shape[0])
+    n_donors = int(pipeline.device_data["donor_amp"].shape[0])
     for s in steps:
         assert s["img_idx"].shape == (8,) and s["img_idx"].dtype == np.int32
         assert s["img_idx"].max() < n_imgs and s["donor_idx"].max() < n_donors
@@ -107,9 +107,47 @@ def test_pipeline_plan_and_gather(pipeline):
         32,
     )
     assert batch["img"].shape == (8, 32, 32, 3)
-    assert batch["donor"].shape == (8, 32, 32, 3)
+    # default: precomputed banded donor amplitudes (b = floor(32*0.1) = 3)
+    assert batch["donor_amp"].shape == (8, 7, 4, 3)
     assert batch["mask"].shape == (8, 32, 32, 2)
     assert float(batch["img"].max()) <= 255.0
+
+
+def test_gather_donor_amp_matches_donor_image_path(root):
+    """Pipelines built with and without the donor-amp precompute feed the
+    step identically: the gathered banded amplitude equals the banded
+    spectrum of the gathered donor image."""
+    from ramdsir_tpu.ops.ram import banded_amplitude_spectrum
+
+    base = os.path.join(root, "fundus")
+
+    def build(pre):
+        datasets = [
+            FundusMultiDataset(base, [d], is_freq=True, test_domain_idx=3,
+                               donor_size=32, resize_to=32, rng=np.random.default_rng(d))
+            for d in (0, 1, 2)
+        ]
+        return DeviceFundusPipeline(
+            datasets, [2, 3, 3], base, 32, test_domain_idx=3,
+            is_out_domain=True, seed=7, precompute_donor_amp=pre,
+        )
+
+    pre, legacy = build(True), build(False)
+    step = next(iter(pre))
+    key = jax.random.PRNGKey(3)
+    b_pre = gather_and_augment(
+        pre.device_data, jnp.asarray(step["img_idx"]), jnp.asarray(step["donor_idx"]), key, 32
+    )
+    b_leg = gather_and_augment(
+        legacy.device_data, jnp.asarray(step["img_idx"]), jnp.asarray(step["donor_idx"]), key, 32
+    )
+    assert "donor" in b_leg and "donor_amp" in b_pre
+    np.testing.assert_allclose(np.asarray(b_pre["img"]), np.asarray(b_leg["img"]), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(b_pre["donor_amp"]),
+        np.asarray(banded_amplitude_spectrum(b_leg["donor"])),
+        atol=1e-2, rtol=1e-6,
+    )
 
 
 def test_fit_device_data_smoke(root):

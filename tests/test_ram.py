@@ -113,3 +113,85 @@ def test_pallas_mix_matches_jnp():
     ref = ram_mixup(jnp.asarray(src), damp, ratio, use_pallas=False)
     got = ram_mixup(jnp.asarray(src), damp, ratio, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(64, 64), (65, 63), (32, 48)])
+def test_banded_mixup_matches_full(h, w):
+    """ram_mixup_banded (precomputed banded donor amplitudes) is numerically
+    identical to ram_mixup: outside the band x/x == 1 exactly, inside it the
+    same formula runs on the same inputs."""
+    from ramdsir_tpu.ops.ram import banded_amplitude_spectrum, ram_mixup_banded
+
+    rng = np.random.default_rng(7)
+    src = rng.uniform(0, 255, (3, h, w, 3)).astype(np.float32)
+    donor = rng.uniform(0, 255, (3, h, w, 3)).astype(np.float32)
+    ratio = jnp.asarray([0.2, 0.6, 1.0], jnp.float32)
+
+    full = ram_mixup(jnp.asarray(src), amplitude_spectrum(jnp.asarray(donor)), ratio)
+    band = ram_mixup_banded(
+        jnp.asarray(src), banded_amplitude_spectrum(jnp.asarray(donor)), ratio
+    )
+    np.testing.assert_allclose(np.asarray(band), np.asarray(full), atol=2e-4, rtol=1e-6)
+
+
+def test_banded_mixup_matches_oracle():
+    from ramdsir_tpu.ops.ram import banded_amplitude_spectrum, ram_mixup_banded
+
+    rng = np.random.default_rng(8)
+    src = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    donor = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    for ratio in (0.1, 0.5):
+        got = np.asarray(
+            ram_mixup_banded(
+                jnp.asarray(src),
+                banded_amplitude_spectrum(jnp.asarray(donor)),
+                jnp.full((2,), ratio, jnp.float32),
+            )
+        )
+        for i in range(2):
+            want = oracle_ram(src[i], donor[i], ratio)
+            np.testing.assert_allclose(got[i], want, atol=2e-2, rtol=1e-5)
+
+
+def test_banded_amplitude_chunking_and_shape():
+    """Chunked pool precompute == per-image slices of the full amplitude."""
+    from ramdsir_tpu.ops.ram import band_halfwidth, banded_amplitude_spectrum
+
+    rng = np.random.default_rng(9)
+    pool = rng.uniform(0, 255, (7, 32, 48, 3)).astype(np.float32)
+    b = band_halfwidth(32, 48)
+    got = np.asarray(banded_amplitude_spectrum(jnp.asarray(pool), chunk=3))
+    assert got.shape == (7, 2 * b + 1, b + 1, 3)
+    amp = np.abs(np.fft.rfft2(pool, axes=(1, 2)))
+    want = np.concatenate([amp[:, : b + 1, : b + 1], amp[:, 32 - b :, : b + 1]], axis=1)
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-2, rtol=1e-5)
+
+
+def test_banded_fundus_prostate_wrappers_match_legacy():
+    """The banded wrappers reproduce the legacy in-step-donor-FFT wrappers
+    bit-for-bit up to FFT batching noise (same keys -> same ratios)."""
+    from ramdsir_tpu.ops.ram import (
+        banded_amplitude_spectrum,
+        ram_augment_fundus_banded,
+        ram_augment_prostate_banded,
+    )
+
+    rng = np.random.default_rng(10)
+    key = jax.random.PRNGKey(5)
+    src = rng.uniform(0, 255, (4, 48, 48, 3)).astype(np.float32)
+    donor = rng.uniform(0, 255, (4, 48, 48, 3)).astype(np.float32)
+    img_a, freq_a = ram_augment_fundus(jnp.asarray(src), jnp.asarray(donor), key)
+    img_b, freq_b = ram_augment_fundus_banded(
+        jnp.asarray(src), banded_amplitude_spectrum(jnp.asarray(donor)), key
+    )
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a), atol=0)
+    np.testing.assert_allclose(np.asarray(freq_b), np.asarray(freq_a), atol=1e-5)
+
+    srcp = rng.uniform(-1, 1, (4, 48, 48, 3)).astype(np.float32)
+    donorp = rng.uniform(-1, 1, (4, 48, 48, 3)).astype(np.float32)
+    img_a, freq_a = ram_augment_prostate(jnp.asarray(srcp), jnp.asarray(donorp), key)
+    img_b, freq_b = ram_augment_prostate_banded(
+        jnp.asarray(srcp), banded_amplitude_spectrum(jnp.asarray(donorp)), key
+    )
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a), atol=0)
+    np.testing.assert_allclose(np.asarray(freq_b), np.asarray(freq_a), atol=1e-6)

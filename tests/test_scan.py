@@ -129,3 +129,100 @@ def test_fit_scan_smoke(tree):
                     if any(k.startswith("loss/") for k in rec):
                         logged.add(rec["step"])
     assert logged == set(range(7)), logged
+
+
+def test_chained_scan_windows_match_loop(tree):
+    """fit() dispatches CONSECUTIVE scan windows threading one state and one
+    base key (run_scan_segment); two chained 3-step windows must equal six
+    sequential per-step calls — pins the fold_in(base, state.step) carry
+    across window boundaries, not just within one window."""
+    cfg = _cfg(tree)
+    loader = build_train_loaders(cfg, os.path.join(tree, "fundus"), seed=3)
+    dev_data = loader.device_data
+    rng = jax.random.PRNGKey(9)
+    state0, models = init_state(cfg, rng)
+    # two epochs' plans chained: the 6-step window spans an epoch boundary,
+    # exactly like fit()'s segment windows do
+    p1, p2 = loader.epoch_plan(), loader.epoch_plan()
+    full = {k: np.concatenate([p1[k], p2[k]])[:6] for k in p1}
+    assert full["img_idx"].shape[0] == 6, full["img_idx"].shape
+
+    step_fn = make_train_step(cfg, models, total_iters=50, device_data=dev_data)
+    state_seq = state0
+    seq_losses = []
+    for i in range(6):
+        row = {k: v[i] for k, v in full.items()}
+        state_seq, m, _ = step_fn(state_seq, row, jax.random.fold_in(rng, i), dev_data)
+        seq_losses.append(float(np.asarray(m["loss"])))
+
+    scan_fn = make_train_step(cfg, models, total_iters=50, device_data=dev_data, scan=True)
+    state_scan = state0
+    scan_losses = []
+    for w0 in (0, 3):
+        window = {k: v[w0 : w0 + 3] for k, v in full.items()}
+        state_scan, mtable, _ = scan_fn(state_scan, window, rng, dev_data)
+        scan_losses.extend(np.asarray(mtable["loss"]).tolist())
+
+    assert int(state_scan.step) == int(state_seq.step) == 6
+    np.testing.assert_allclose(scan_losses[0], seq_losses[0], rtol=1e-6)
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=2e-3, atol=2e-5)
+    # atol 8e-3 (vs the 4-step test's 5e-3): early Adam updates are
+    # ~lr*sign(g), so per-step fp32 reduction-order noise compounds by
+    # ~2*lr per extra step (measured at 6 steps: 2/294912 elements past
+    # 5e-3, max 5.6e-3 — chaos accumulation, not systematic drift)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=8e-3
+        ),
+        state_scan.params,
+        state_seq.params,
+    )
+
+
+def test_prostate_scan_matches_sequential():
+    """Prostate twin of the fundus scan-parity test: 5-domain DSBN + CE +
+    dice_loss_multi through a 4-step window vs the per-step loop."""
+    import tempfile
+
+    from ramdsir_tpu.data.synthetic import make_prostate_tree
+
+    root = tempfile.mkdtemp(prefix="scan_prostate_")
+    make_prostate_tree(root, per_domain=6, size=32)
+    cfg = TrainConfig(
+        data_root=root, dataset="prostate", image_size=32, test_domain_idx=5,
+        domain_idxs=(0, 1, 2, 3, 4), save_path=root + "/run", ram=True,
+        rec=True, consistency=True, consistency_type="kd", epochs=2,
+        log_images_every=0,
+    ).resolve()
+    loader = build_train_loaders(cfg, os.path.join(root, "prostate"), seed=1)
+    dev_data = loader.device_data
+    rng = jax.random.PRNGKey(4)
+    state0, models = init_state(cfg, rng)
+    w = 4
+    p1, p2 = loader.epoch_plan(), loader.epoch_plan()
+    window = {k: np.concatenate([p1[k], p2[k]])[:w] for k in p1}
+    assert window["img_idx"].shape[0] == w, window["img_idx"].shape
+
+    step_fn = make_train_step(cfg, models, total_iters=50, device_data=dev_data)
+    state_seq = state0
+    seq_metrics = []
+    for i in range(w):
+        row = {k: v[i] for k, v in window.items()}
+        state_seq, m, _ = step_fn(state_seq, row, jax.random.fold_in(rng, i), dev_data)
+        seq_metrics.append(m)
+
+    scan_fn = make_train_step(cfg, models, total_iters=50, device_data=dev_data, scan=True)
+    state_scan, mtable, _ = scan_fn(state0, window, rng, dev_data)
+    assert int(state_scan.step) == int(state_seq.step) == w
+    for k in seq_metrics[0]:
+        got = np.asarray(mtable[k])
+        want = np.asarray([np.asarray(m[k]) for m in seq_metrics])
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-6, err_msg=k)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-3
+        ),
+        state_scan.params,
+        state_seq.params,
+    )
