@@ -220,6 +220,67 @@ def down_kernel(w: jax.Array) -> jax.Array:
     return g.reshape(4, 4, ci, co * 4)  # c-major: channel co*4 + q
 
 
+def _packconv2_raw(x: jax.Array, wp: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, wp, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def packconv2(x: jax.Array, wp: jax.Array) -> jax.Array:
+    """The S2DConvDown stride-2 4x4 conv with a hand-written weight-grad.
+
+    XLA's native weight gradient for this conv contracts with the UNPACKED
+    input's Ci (=16 at level 2) on the MXU's 128-lane dim — measured
+    3.2 ms/step of a 87 ms prostate step (dW[4,4,16,128], round-4 trace)
+    where the math is ~60 us.  The backward below computes the identical
+    dW from the PACKED padded input: tap (a, b) of the stride-2 window is
+    packed block (a//2, b//2) position (a%2, b%2), so
+      dwp[2u+py, 2v+px, ci, co] = sum_{b,i,j} xp[b,i+u,j+v,ci*4+py*2+px]
+                                              * dy[b,i,j,co]
+    — four (4Ci x 4Co) matmuls with K = B*Hb*Wb, at 4x the lane occupancy.
+    The input gradient keeps XLA's own transpose rule.
+    """
+    return _packconv2_raw(x, wp)
+
+
+def _packconv2_fwd(x, wp):
+    return _packconv2_raw(x, wp), (x, wp)
+
+
+def _packconv2_bwd(res, dy):
+    x, wp = res
+    _, vjp_x = jax.vjp(lambda xx: _packconv2_raw(xx, wp), x)
+    (dx,) = vjp_x(dy)
+    ci = x.shape[-1]
+    hb, wb = dy.shape[1], dy.shape[2]
+    xp = pack(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))))  # (B, H/2+1, W/2+1, 4Ci)
+    d2 = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.einsum(
+                        "bijc,bijo->co",
+                        xp[:, u : u + hb, v : v + wb, :],
+                        dy,
+                        preferred_element_type=jnp.float32,
+                    )
+                    for v in (0, 1)
+                ]
+            )
+            for u in (0, 1)
+        ]
+    )  # (u, v, 4Ci, 4Co)
+    co4 = dy.shape[-1]
+    d2 = d2.reshape(2, 2, ci, 2, 2, co4)  # (u, v, ci, py, px, co)
+    dwp = d2.transpose(0, 3, 1, 4, 2, 5).reshape(4, 4, ci, co4)
+    return dx, dwp.astype(wp.dtype)
+
+
+packconv2.defvjp(_packconv2_fwd, _packconv2_bwd)
+
+
 class S2DConvDown(nn.Module):
     """Fused pack + 3x3 SAME conv for a stage ENTRY: pixel-domain input
     (B, H, W, Ci) -> packed stage map (B, H/2, W/2, 4Co) in one stride-2
@@ -241,10 +302,7 @@ class S2DConvDown(nn.Module):
         )
         b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         wp = down_kernel(w.astype(x.dtype))
-        y = jax.lax.conv_general_dilated(
-            x, wp, (2, 2), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        y = packconv2(x, wp)
         return y + repeat4(b.astype(y.dtype))
 
 

@@ -125,6 +125,52 @@ def mse_loss(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(diff))
 
 
+# --- Two-class specializations on the logit-DIFFERENCE map ----------------
+#
+# For num_classes == 2 every softmax-based loss is an exact function of the
+# single map l = logits[..., 1] - logits[..., 0]:
+#   softmax[..., 1] = sigmoid(l),  softmax[..., 0] = sigmoid(-l)
+# The (B, H, W, 2) probability tensors the generic path materializes tile
+# the TPU's 128-lane minor dimension at 2/128 occupancy — the round-4
+# prostate trace showed ~9 ms/step of loss/softmax loop fusions on
+# f32[10,384,384,2] maps running at ~1-2% of VPU bandwidth.  The (B, H, W)
+# map forms below compute the same values (fp differences ~1e-7: sigmoid vs
+# max-subtracted softmax) on well-tiled arrays.  train/steps.py uses them
+# whenever the dataset head has exactly 2 classes (prostate,
+# /root/reference/code/train.py:393-498); equality with the generic path is
+# pinned in tests/test_losses.py.
+
+
+def binary_kd_loss(l_p: jax.Array, l_q: jax.Array, eps: float = 0.0) -> jax.Array:
+    """`kd_loss(softmax(p), softmax(q))` from 2-class logit-difference maps.
+
+    l_p, l_q: (B, H, W) logit differences of the two passes.  Matches
+    kd_loss's mean over ALL (B, H, W, 2) elements and its eps clip.
+    """
+    l_p = l_p.astype(jnp.float32)
+    l_q = l_q.astype(jnp.float32)
+    p1, p0 = jax.nn.sigmoid(l_p), jax.nn.sigmoid(-l_p)
+    q1, q0 = jax.nn.sigmoid(l_q), jax.nn.sigmoid(-l_q)
+    if eps:
+        p1, p0 = jnp.clip(p1, eps, 1.0), jnp.clip(p0, eps, 1.0)
+        q1, q0 = jnp.clip(q1, eps, 1.0), jnp.clip(q0, eps, 1.0)
+    pointwise = (
+        (xlogy(q1, q1) - q1 * jnp.log(p1))
+        + (xlogy(q0, q0) - q0 * jnp.log(p0))
+        + (xlogy(p1, p1) - p1 * jnp.log(q1))
+        + (xlogy(p0, p0) - p0 * jnp.log(q0))
+    )
+    return jnp.mean(pointwise) / 2.0
+
+
+def binary_mse_consistency(l_p: jax.Array, l_q: jax.Array) -> jax.Array:
+    """`mse_loss(softmax(p), softmax(q))` from logit-difference maps: the
+    class-0 difference is the negative of the class-1 difference, so the
+    mean over both classes equals the mean over the class-1 map alone."""
+    d = jax.nn.sigmoid(l_p.astype(jnp.float32)) - jax.nn.sigmoid(l_q.astype(jnp.float32))
+    return jnp.mean(jnp.square(d))
+
+
 # --- The remainder of the reference loss library (losses.py:35-162).
 # Shipped-but-unused by the reference entry points; provided for API
 # completeness.  Channel axis is LAST (NHWC).

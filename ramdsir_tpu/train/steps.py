@@ -23,6 +23,8 @@ import numpy as np
 from ramdsir_tpu.config import CONSISTENCY_WEIGHT, POLY_POWER, TrainConfig
 from ramdsir_tpu.ops.losses import (
     bce_with_logits_loss,
+    binary_kd_loss,
+    binary_mse_consistency,
     cross_entropy_loss,
     dice_loss,
     dice_loss_multi,
@@ -94,6 +96,56 @@ def make_train_step(
     lambda_rec = cfg.lambda_rec
     base_lr = float(cfg.lr)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # 2-class softmax heads (prostate) use the logit-difference map forms:
+    # (B,H,W,2) probability maps tile the 128-lane minor dim at 2/128
+    # occupancy (~9 ms/step of loss fusions in the 384^2 trace), while the
+    # (B,H,W) forms are exact (softmax over 2 == sigmoid of the difference)
+    # — equality pinned in tests/test_losses.py::test_binary_head_*
+    binary_head = (not is_fundus) and cfg.num_classes == 2
+
+    def seg_head(logits, mask):
+        """Supervised losses from raw-dtype logits; returns (repr, sup, dice)
+        where `repr` feeds the consistency loss and viz:
+          fundus -> sigmoid probabilities (B,H,W,2)
+          binary -> f32 logit-difference map (B,H,W)
+          generic -> softmax probabilities (B,H,W,C)
+        """
+        if is_fundus:
+            lg = logits.astype(jnp.float32)
+            pred = jax.nn.sigmoid(lg)
+            return pred, bce_with_logits_loss(lg, mask), dice_loss(pred, mask)
+        if binary_head:
+            l = logits[..., 1].astype(jnp.float32) - logits[..., 0].astype(jnp.float32)
+            # CE over 2 softmax classes == BCE-with-logits on the difference;
+            # dice_loss_multi(C=2, ignore_index=0) == plain dice on class 1
+            return l, bce_with_logits_loss(l, mask), dice_loss(
+                jax.nn.sigmoid(l), (mask == 1)
+            )
+        lg = logits.astype(jnp.float32)
+        pred = jax.nn.softmax(lg, axis=-1)
+        return (
+            pred,
+            cross_entropy_loss(lg, mask),
+            dice_loss_multi(pred, mask, cfg.num_classes, ignore_index=0),
+        )
+
+    def consistency_fn(repr2, repr1):
+        if cfg.consistency_type == "kd":
+            # eps guards the log against fp32 sigmoid/softmax saturation
+            if binary_head:
+                return binary_kd_loss(repr2, repr1, eps=1e-8)
+            return kd_loss(repr2, repr1, eps=1e-8)
+        if binary_head:
+            return binary_mse_consistency(repr2, repr1)
+        return mse_loss(repr2, repr1)
+
+    def viz_probs(repr1):
+        """Viz slice as (n,H,W,C) probabilities whatever the head repr."""
+        if binary_head:
+            return jnp.stack(
+                [jax.nn.sigmoid(-repr1), jax.nn.sigmoid(repr1)], axis=-1
+            )
+        return repr1
 
     def loss_fn(params, batch_stats, batch, key):
         stats = dict(batch_stats)
@@ -132,7 +184,9 @@ def make_train_step(
             )
             new_stats = dict(stats)
             new_stats["encoder"], new_stats["seg_decoder"] = enc_stats, seg_stats
-            return feats, logits[:b_real].astype(jnp.float32), new_stats
+            # raw-dtype logits: seg_head casts to f32 at the use site (bf16
+            # values are exact in f32, so deferring the cast changes nothing)
+            return feats, logits[:b_real], new_stats
 
         if cfg.remat:
             # Recompute the forward in the backward pass: activation memory
@@ -168,7 +222,7 @@ def make_train_step(
                     dec_d, params["seg_decoder"], st["seg_decoder"],
                     feats, train=True, n_valid=n_valid,
                 )
-                return feats[-1], logits.astype(jnp.float32), enc_s, seg_s
+                return feats[-1], logits, enc_s, seg_s
 
             if cfg.remat:
                 fwd_flat = jax.checkpoint(fwd_flat)
@@ -194,7 +248,7 @@ def make_train_step(
                     models["seg_decoder"], params["seg_decoder"], stats["seg_decoder"],
                     feats, train=True, n_valid=n_valid,
                 )
-                return feats[-1], logits[:b_real].astype(jnp.float32), enc_s, seg_s
+                return feats[-1], logits[:b_real], enc_s, seg_s
 
             if cfg.remat:
                 fwd_one = jax.checkpoint(fwd_one)
@@ -220,14 +274,7 @@ def make_train_step(
                     stats[name] = jax.tree.map(_merge_seq, stats[name], new_tree)
         else:
             _, logits1, stats = forward(img, stats)
-        if is_fundus:
-            pred1 = jax.nn.sigmoid(logits1)
-            loss_sup1 = bce_with_logits_loss(logits1, mask)
-            loss_dice1 = dice_loss(pred1, mask)
-        else:
-            pred1 = jax.nn.softmax(logits1, axis=-1)
-            loss_sup1 = cross_entropy_loss(logits1, mask)
-            loss_dice1 = dice_loss_multi(pred1, mask, cfg.num_classes, ignore_index=0)
+        pred1, loss_sup1, loss_dice1 = seg_head(logits1, mask)
 
         loss = loss_sup1 + loss_dice1
         metrics.update(loss_sup_1=loss_sup1, loss_dice_1=loss_dice1)
@@ -236,23 +283,12 @@ def make_train_step(
             if not cfg.fused_dual:
                 feats_f, logits2, stats = forward(img_freq, stats)
                 feats_f_last = feats_f[-1]
-            if is_fundus:
-                pred2 = jax.nn.sigmoid(logits2)
-                loss_sup2 = bce_with_logits_loss(logits2, mask)
-                loss_dice2 = dice_loss(pred2, mask)
-            else:
-                pred2 = jax.nn.softmax(logits2, axis=-1)
-                loss_sup2 = cross_entropy_loss(logits2, mask)
-                loss_dice2 = dice_loss_multi(pred2, mask, cfg.num_classes, ignore_index=0)
+            pred2, loss_sup2, loss_dice2 = seg_head(logits2, mask)
             loss = loss + loss_sup2 + loss_dice2
 
             loss_consistency = jnp.float32(0.0)
             if cfg.consistency:
-                if cfg.consistency_type == "kd":
-                    # eps guards the log against fp32 sigmoid saturation
-                    loss_consistency = kd_loss(pred2, pred1, eps=1e-8)
-                else:
-                    loss_consistency = mse_loss(pred2, pred1)
+                loss_consistency = consistency_fn(pred2, pred1)
             loss = loss + CONSISTENCY_WEIGHT * loss_consistency
 
             avg_rec = jnp.float32(0.0)
@@ -332,7 +368,7 @@ def make_train_step(
         if cfg.log_images_every:
             viz = {
                 "image": img[0:9:4],
-                "pred": pred1[0:9:4],
+                "pred": viz_probs(pred1[0:9:4]),
                 "mask": mask[0:9:4],
             }
             if cfg.ram:

@@ -1,10 +1,13 @@
 """Loss parity vs torch builtins / reference formulas (torch CPU golden)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
 
 from ramdsir_tpu.ops.losses import (
+    binary_kd_loss,
+    binary_mse_consistency,
     bce_loss,
     bce_with_logits_loss,
     cross_entropy_loss,
@@ -106,3 +109,58 @@ def test_mse_matches_torch():
     want = F.mse_loss(torch.from_numpy(a), torch.from_numpy(b)).item()
     got = float(mse_loss(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# --- binary (2-class) head specializations vs the generic softmax path ----
+
+
+def _logits2():
+    return RNG.normal(size=(4, 8, 8, 2)).astype(np.float32) * 3.0
+
+
+def test_binary_head_ce_equals_cross_entropy():
+    lg = _logits2()
+    t = RNG.integers(0, 2, (4, 8, 8))
+    l = jnp.asarray(lg[..., 1] - lg[..., 0])
+    want = float(cross_entropy_loss(jnp.asarray(lg), jnp.asarray(t)))
+    got = float(bce_with_logits_loss(l, jnp.asarray(t).astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_binary_head_dice_equals_dice_multi():
+    lg = _logits2()
+    t = RNG.integers(0, 2, (4, 8, 8))
+    p = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))
+    want = float(dice_loss_multi(jnp.asarray(p), jnp.asarray(t), num_classes=2, ignore_index=0))
+    l = jnp.asarray(lg[..., 1] - lg[..., 0])
+    got = float(dice_loss(jax.nn.sigmoid(l), jnp.asarray(t) == 1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_binary_kd_equals_kd_loss():
+    lp, lq = _logits2(), _logits2()
+    pp = np.asarray(jax.nn.softmax(jnp.asarray(lp), axis=-1))
+    qq = np.asarray(jax.nn.softmax(jnp.asarray(lq), axis=-1))
+    for eps in (0.0, 1e-8):
+        want = float(kd_loss(jnp.asarray(pp), jnp.asarray(qq), eps=eps))
+        got = float(
+            binary_kd_loss(
+                jnp.asarray(lp[..., 1] - lp[..., 0]),
+                jnp.asarray(lq[..., 1] - lq[..., 0]),
+                eps=eps,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_binary_mse_equals_mse_on_softmax():
+    lp, lq = _logits2(), _logits2()
+    pp = jax.nn.softmax(jnp.asarray(lp), axis=-1)
+    qq = jax.nn.softmax(jnp.asarray(lq), axis=-1)
+    want = float(mse_loss(pp, qq))
+    got = float(
+        binary_mse_consistency(
+            jnp.asarray(lp[..., 1] - lp[..., 0]), jnp.asarray(lq[..., 1] - lq[..., 0])
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)

@@ -255,3 +255,28 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=2.5 * lr)
         for pa, pb in zip(jax.tree.leaves(s0.batch_stats), jax.tree.leaves(s2.batch_stats)):
             np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-5)
+
+
+def test_packconv2_custom_vjp_matches_autodiff():
+    """The hand-written weight-grad of the fused stride-2 pack-conv
+    (s2d.packconv2: four packed-domain matmuls instead of XLA's 16-lane
+    conv weight-grad) must equal the raw conv's autodiff exactly (f32;
+    reduction order only)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(3, 16, 16, 5)).astype(np.float32))
+    wp = jnp.asarray(rng.normal(size=(4, 4, 5, 8)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(3, 8, 8, 8)).astype(np.float32))
+
+    def loss_custom(x_, wp_):
+        return jnp.vdot(s2d_ops.packconv2(x_, wp_), dy)
+
+    def loss_raw(x_, wp_):
+        return jnp.vdot(s2d_ops._packconv2_raw(x_, wp_), dy)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_custom(x, wp)), np.asarray(loss_raw(x, wp)), rtol=1e-6
+    )
+    gx_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(x, wp)
+    gx_r, gw_r = jax.grad(loss_raw, argnums=(0, 1))(x, wp)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_r), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r), rtol=1e-5, atol=1e-4)
