@@ -277,7 +277,11 @@ def make_train_step(
         pred1, loss_sup1, loss_dice1 = seg_head(logits1, mask)
 
         loss = loss_sup1 + loss_dice1
-        metrics.update(loss_sup_1=loss_sup1, loss_dice_1=loss_dice1)
+        # metric keys become the reference's TB tags verbatim once the ring
+        # prepends 'loss/' (train.py:299 fundus, :468 prostate):
+        # loss_bce_1/2 (fundus BCE heads), loss_ce_1/2 (prostate CE heads)
+        sup_tag = "loss_bce" if is_fundus else "loss_ce"
+        metrics.update({f"{sup_tag}_1": loss_sup1, "loss_dice_1": loss_dice1})
 
         if cfg.ram:
             if not cfg.fused_dual:
@@ -351,11 +355,13 @@ def make_train_step(
                 stats = dict(stats)
                 stats["rec_decoder"] = rec_stats
             metrics.update(
-                loss_sup_2=loss_sup2,
-                loss_dice_2=loss_dice2,
-                loss_consistency=loss_consistency,
-                # reference TB logs avg_rec_loss/4 regardless of domain count
-                loss_rec=avg_rec / 4.0,
+                {
+                    f"{sup_tag}_2": loss_sup2,
+                    "loss_dice_2": loss_dice2,
+                    "loss_consistency": loss_consistency,
+                    # reference TB logs avg_rec_loss/4 regardless of domain count
+                    "loss_rec": avg_rec / 4.0,
+                }
             )
         metrics["loss"] = loss
         # Small viz sample (reference logs grids of batch[0:9:4] every 100

@@ -112,6 +112,7 @@ class DeviceMetricsRing:
         cap: int = 2048,
         prefix: str = "loss/",
         log_interval: int = 1,
+        no_prefix: tuple = ("lr",),
     ):
         import jax
         import jax.numpy as jnp
@@ -119,6 +120,9 @@ class DeviceMetricsRing:
         self.writer = writer
         self.cap = cap
         self.prefix = prefix
+        # tags the reference writes WITHOUT the loss/ namespace — `lr` is a
+        # bare top-level scalar (train.py:298/467)
+        self.no_prefix = frozenset(no_prefix)
         self.log_interval = max(1, log_interval)
         self.names: Optional[list] = None
         self.buf = None
@@ -158,9 +162,11 @@ class DeviceMetricsRing:
         table = np.asarray(jax.device_get(self.buf))[: len(self.steps)]
         for s, row in zip(self.steps, table):
             if s % self.log_interval == 0:
-                self.writer.add_scalars(
-                    dict(zip(self.names, row)), s, prefix=self.prefix
-                )
+                vals = dict(zip(self.names, row))
+                bare = {k: vals.pop(k) for k in list(vals) if k in self.no_prefix}
+                self.writer.add_scalars(vals, s, prefix=self.prefix)
+                if bare:
+                    self.writer.add_scalars(bare, s, prefix="")
         self.steps.clear()
 
 

@@ -33,7 +33,16 @@ def test_scalar_rows_and_flush():
     rows = _read_rows(d)
     assert sorted(rows) == [0, 1, 2, 3, 4]
     assert rows[3]["loss/loss"] == 3.0
-    assert abs(rows[3]["loss/lr"] - 0.1) < 1e-6
+    # `lr` is exempt from the loss/ namespace — the reference logs it bare
+    # (train.py:298/467)
+    lr_rows = {}
+    with open(os.path.join(d, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "lr" in rec:
+                lr_rows[rec["step"]] = rec["lr"]
+    assert abs(lr_rows[3] - 0.1) < 1e-6
+    assert not any("loss/lr" in r for r in rows.values())
 
 
 def test_window_tables_and_autoflush():
@@ -149,3 +158,33 @@ def test_viz_ring_caps_slots():
     ring.flush(lambda viz, s: got.append((s, float(viz["image"][0, 0, 0, 0]))))
     assert len(got) == 32  # oldest dropped
     assert got[0] == (8, 8.0) and got[-1] == (39, 39.0)
+
+
+def test_tb_tag_set_matches_reference():
+    """The full emitted tag set equals the reference's SummaryWriter calls
+    (train.py:298-304 fundus / :467-473 prostate) plus one documented extra
+    (`loss/loss`, the total — PARITY.md)."""
+    for sup in ("bce", "ce"):
+        d = tempfile.mkdtemp()
+        w = MetricsWriter(d, use_tensorboard=False)
+        ring = DeviceMetricsRing(w, cap=8)
+        step_metrics = {
+            f"loss_{sup}_1": 0.1, "loss_dice_1": 0.2,
+            f"loss_{sup}_2": 0.3, "loss_dice_2": 0.4,
+            "loss_consistency": 0.5, "loss_rec": 0.6,
+            "loss": 1.0, "lr": 1e-3,
+        }
+        ring.append(0, {k: jnp.float32(v) for k, v in step_metrics.items()})
+        ring.flush()
+        w.close()
+        tags = set()
+        with open(os.path.join(d, "metrics.jsonl")) as f:
+            for line in f:
+                tags |= {k for k in json.loads(line) if k not in ("t", "step")}
+        reference_tags = {
+            "lr",
+            f"loss/loss_{sup}_1", "loss/loss_dice_1",
+            f"loss/loss_{sup}_2", "loss/loss_dice_2",
+            "loss/loss_consistency", "loss/loss_rec",
+        }
+        assert tags == reference_tags | {"loss/loss"}, tags

@@ -143,9 +143,9 @@ def oracle():
     opt.step()
 
     torch_losses = {
-        "loss_sup_1": float(loss_bce_1),
+        "loss_bce_1": float(loss_bce_1),
         "loss_dice_1": float(loss_dice_1),
-        "loss_sup_2": float(loss_bce_2),
+        "loss_bce_2": float(loss_bce_2),
         "loss_dice_2": float(loss_dice_2),
         "loss_consistency": float(loss_consistency),
         "loss_rec": avg_rec / 4.0,  # reference TB convention

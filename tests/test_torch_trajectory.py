@@ -167,9 +167,10 @@ class TorchReferenceTrainer:
         self.opt.param_groups[1]["lr"] = lr
         self.opt.param_groups[2]["lr"] = lr
         self.iter_num += 1
+        sup_tag = "loss_bce" if self.is_fundus else "loss_ce"
         return {
-            "loss_sup_1": float(sup1), "loss_dice_1": float(dice1),
-            "loss_sup_2": float(sup2), "loss_dice_2": float(dice2),
+            f"{sup_tag}_1": float(sup1), "loss_dice_1": float(dice1),
+            f"{sup_tag}_2": float(sup2), "loss_dice_2": float(dice2),
             "loss_consistency": float(consistency),
             "loss_rec": avg_rec / 4.0, "loss": float(loss),
         }

@@ -49,6 +49,12 @@ def test_fundus_full_ramdsir_steps(roots):
     for i, batch in enumerate(it):
         state, m, _ = step(state, batch, jax.random.fold_in(rng, i), dev)
         assert _metrics_finite(m), m
+        # metric keys = the reference's fundus TB tags (train.py:298-304)
+        # minus the 'loss/' namespace the ring adds, plus {loss, lr}
+        assert set(m) == {
+            "loss_bce_1", "loss_dice_1", "loss_bce_2", "loss_dice_2",
+            "loss_consistency", "loss_rec", "loss", "lr",
+        }
         losses.append(float(m["loss"]))
         if i == 2:
             break
@@ -88,6 +94,11 @@ def test_prostate_ramdsir_step_and_volume_eval(roots):
     batch = next(iter(it))
     state, m, _ = step(state, batch, jax.random.PRNGKey(3), dev_data)
     assert _metrics_finite(m)
+    # prostate TB tags use the CE names (train.py:467-473)
+    assert set(m) == {
+        "loss_ce_1", "loss_dice_1", "loss_ce_2", "loss_dice_2",
+        "loss_consistency", "loss_rec", "loss", "lr",
+    }
 
     predict = make_predict_fn(cfg, models)
     res = eval_prostate_volumes(predict, state, roots, cfg.test_domain_idx,
