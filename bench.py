@@ -123,8 +123,10 @@ def main_eval(dataset: str = "fundus") -> None:
 
     root = tempfile.mkdtemp(prefix="bench_eval_")
     if dataset == "fundus":
-        # real test sets are 51-80 images (SURVEY #17); use 51 (Domain1)
-        make_fundus_tree(root, per_domain_train=2, per_domain_test=51, size=256)
+        # real test sets are 51-80 images (SURVEY #17); 160 bounds a
+        # double-size split from above (VERDICT r4 #7) and exercises the
+        # chunked stacked readback
+        make_fundus_tree(root, per_domain_train=2, per_domain_test=160, size=256)
         cfg = TrainConfig(
             data_root=root, dataset="fundus", image_size=256, test_domain_idx=0,
             domain_idxs=(1, 2, 3), save_path=root + "/run", compute_dtype="bfloat16",
@@ -137,7 +139,9 @@ def main_eval(dataset: str = "fundus") -> None:
                 predict, state, root, 0, batch_size=cfg.test_batch_size, image_size=256
             )
     else:
-        make_prostate_volumes(root, per_domain=2, depth=24, size=384)
+        # real SAML volumes are ~40-100 slices; 6 volumes x 48 slices is the
+        # realistic-protocol cost bound (VERDICT r4 #7; round-3 timed 2x24)
+        make_prostate_volumes(root, per_domain=6, depth=48, size=384)
         cfg = TrainConfig(
             data_root=root, dataset="prostate", image_size=384, test_domain_idx=5,
             domain_idxs=(0, 1, 2, 3, 4), save_path=root + "/run",
@@ -168,10 +172,13 @@ def main_eval(dataset: str = "fundus") -> None:
     )
 
 
-def main(
+def build_bench_setup(
     dataset: str = "fundus", batch: int = 0, remat: bool = False,
-    trace_dir: str = "", donor_amp: bool = True, pallas: bool = False,
+    donor_amp: bool = True, pallas: bool = False, donate: bool = True,
 ) -> dict:
+    """The flagship step exactly as the headline bench measures it:
+    (cfg, state, jitted step, device batch).  Shared with benchmarks/mfu.py
+    so the roofline accounting analyzes the SAME compiled program."""
     import jax
 
     from ramdsir_tpu.utils.cache import enable_persistent_cache
@@ -208,7 +215,7 @@ def main(
         assert batch % n_dom == 0, f"--batch must divide by {n_dom} domains"
         bsl = [batch // n_dom] * n_dom
     batch_size = sum(bsl)
-    step = make_train_step(cfg, models, total_iters=10_000, batch_size_list=bsl, donate=True)
+    step = make_train_step(cfg, models, total_iters=10_000, batch_size_list=bsl, donate=donate)
 
     rng = np.random.default_rng(0)
     s = cfg.image_size
@@ -231,7 +238,24 @@ def main(
         from ramdsir_tpu.ops.ram import banded_amplitude_spectrum
 
         batch_np["donor_amp"] = np.asarray(banded_amplitude_spectrum(batch_np.pop("donor")))
-    batch = {k: jax.device_put(v) for k, v in batch_np.items()}
+    device_batch = {k: jax.device_put(v) for k, v in batch_np.items()}
+    return dict(
+        cfg=cfg, state=state, models=models, step=step,
+        batch=device_batch, batch_size=batch_size, image_size=s,
+    )
+
+
+def main(
+    dataset: str = "fundus", batch: int = 0, remat: bool = False,
+    trace_dir: str = "", donor_amp: bool = True, pallas: bool = False,
+) -> dict:
+    import jax
+
+    setup = build_bench_setup(
+        dataset, batch=batch, remat=remat, donor_amp=donor_amp, pallas=pallas
+    )
+    state, step, batch = setup["state"], setup["step"], setup["batch"]
+    batch_size, s = setup["batch_size"], setup["image_size"]
 
     key = jax.random.PRNGKey(1)
 

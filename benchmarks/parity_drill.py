@@ -30,8 +30,24 @@ side-by-side table and a PASS/FAIL verdict per metric:
 Without --expect it still runs the eval and prints our numbers (useful as
 the first half of the drill, or to fill the table by hand).
 
+SWEEP MODE — the full north-star table in one command.  Given a directory
+of per-target checkpoints (the reference protocol trains one model per
+held-out domain: 4 fundus + 6 prostate runs, train.py:47-56), sweep every
+leave-one-out target and print the combined side-by-side table:
+
+    python benchmarks/parity_drill.py --dataset fundus --sweep \
+        --data_dir /path/to/fundus --ckpt_dir /path/to/ckpts \
+        --expect_file refs.json
+
+`--ckpt_dir` is searched per domain N for (first hit wins):
+`target{N}.pth|.ckpt`, `{N}.pth|.ckpt`, `target{N}/final_model.*`,
+`{N}/final_model.*`, and `model_*.pth|.ckpt` inside those subdirs (the
+reference's keep-best naming, train.py:340-352).  `--expect_file` is a
+JSON map {"<domain>": {"cup_dice": 0.85, ...}, ...} holding the
+reference's numbers per split (same metric names as --expect).
+
 Smoke-tested end-to-end on synthetic trees with an exported torch
-checkpoint in tests/test_parity_drill.py.
+checkpoint in tests/test_parity_drill.py (incl. the sweep).
 """
 from __future__ import annotations
 
@@ -50,9 +66,15 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--dataset", choices=("fundus", "prostate"), required=True)
     p.add_argument("--data_dir", required=True, help="dataset root (the reference layout)")
-    p.add_argument("--model_file", required=True,
+    p.add_argument("--model_file", default=None,
                    help="checkpoint: reference .pth or our .ckpt — both load")
-    p.add_argument("--test_domain_idx", type=int, required=True)
+    p.add_argument("--test_domain_idx", type=int, default=None)
+    p.add_argument("--sweep", action="store_true",
+                   help="run EVERY leave-one-out target (4 fundus / 6 prostate)")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="sweep mode: directory of per-target checkpoints")
+    p.add_argument("--expect_file", default=None,
+                   help="sweep mode: JSON {domain: {metric: reference_value}}")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--image_size", type=int, default=256, help="fundus eval size")
     p.add_argument("--freeze_bn", action="store_true",
@@ -124,8 +146,75 @@ def print_table(rows, dataset, test_domain_idx):
     return None
 
 
+def find_checkpoint(ckpt_dir: str, idx: int):
+    """Locate domain `idx`'s checkpoint under the documented conventions."""
+    import glob
+
+    for name in (f"target{idx}.pth", f"target{idx}.ckpt", f"{idx}.pth", f"{idx}.ckpt"):
+        p = os.path.join(ckpt_dir, name)
+        if os.path.exists(p):
+            return p
+    for sub in (f"target{idx}", str(idx)):
+        d = os.path.join(ckpt_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in ("final_model.pth", "final_model.ckpt"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                return p
+        best = sorted(glob.glob(os.path.join(d, "model_*.pth"))
+                      + glob.glob(os.path.join(d, "model_*.ckpt")))
+        if best:
+            return best[-1]  # keep-best leaves exactly one; sort is a tiebreak
+    return None
+
+
+def run_sweep(a):
+    """All leave-one-out targets; returns (per-domain rows, overall)."""
+    n_domains = 4 if a.dataset == "fundus" else 6
+    expect_all = {}
+    if a.expect_file:
+        with open(a.expect_file) as f:
+            expect_all = {int(k): v for k, v in json.load(f).items()}
+    results, verdicts = {}, []
+    for idx in range(n_domains):
+        ckpt = a.model_file or (a.ckpt_dir and find_checkpoint(a.ckpt_dir, idx))
+        if not ckpt:
+            print(f"domain {idx}: no checkpoint found in {a.ckpt_dir!r} — skipped")
+            results[idx] = None
+            continue
+        sub = argparse.Namespace(**{**vars(a), "test_domain_idx": idx,
+                                    "model_file": ckpt,
+                                    "out_dir": os.path.join(a.out_dir, f"target{idx}")})
+        os.makedirs(sub.out_dir, exist_ok=True)
+        res = run_eval(sub)
+        rows = build_table(a.dataset, res, expect_all.get(idx, {}))
+        results[idx] = rows
+        verdicts.append(print_table(rows, a.dataset, idx))
+    judged = [v for v in verdicts if v is not None]
+    overall = ("PASS" if all(v == "PASS" for v in judged) else "FAIL") if judged else None
+    ran = [r for r in results.values() if r is not None]
+    print(f"\n== sweep: {len(ran)}/{n_domains} targets ran; "
+          f"north star overall: {overall or 'n/a (no --expect_file)'} ==")
+    return results, overall
+
+
 def main(argv=None):
     a = parse_args(argv)
+    os.makedirs(a.out_dir, exist_ok=True)
+    if a.sweep:
+        if not (a.ckpt_dir or a.model_file):
+            sys.exit("--sweep needs --ckpt_dir (or a single --model_file)")
+        results, overall = run_sweep(a)
+        if a.json:
+            print(json.dumps({"dataset": a.dataset, "sweep": True,
+                              "rows": results, "overall": overall}))
+        if overall == "FAIL":
+            sys.exit(1)
+        return results
+    if a.model_file is None or a.test_domain_idx is None:
+        sys.exit("single mode needs --model_file and --test_domain_idx "
+                 "(or use --sweep)")
     expect = {}
     for kv in a.expect:
         k, _, v = kv.partition("=")
@@ -133,7 +222,6 @@ def main(argv=None):
         if k not in valid:
             sys.exit(f"--expect {k!r}: unknown metric (choose from {valid})")
         expect[k] = float(v)
-    os.makedirs(a.out_dir, exist_ok=True)
     res = run_eval(a)
     rows = build_table(a.dataset, res, expect)
     overall = print_table(rows, a.dataset, a.test_domain_idx)

@@ -42,6 +42,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", type=int, default=None, help="data-parallel shards")
     p.add_argument("--ram_use_pallas", action="store_true")
+    p.add_argument(
+        "--no_ram_banded_dft", action="store_true",
+        help="fall back to the full-spectrum rfft2/irfft2 RAM path "
+        "(default: banded restricted-DFT matmuls, ops/ram.py)",
+    )
     p.add_argument("--remat", action="store_true", help="rematerialize the forward (saves HBM)")
     p.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     p.add_argument("--max_steps", type=int, default=None, help="smoke-run cap")
@@ -91,6 +96,7 @@ def main(argv=None):
         compute_dtype=a.compute_dtype,
         num_devices=a.num_devices,
         ram_use_pallas=a.ram_use_pallas,
+        ram_banded_dft=not a.no_ram_banded_dft,
         remat=a.remat,
         checkpoint_resume=a.resume,
         trace_dir=a.trace_dir,

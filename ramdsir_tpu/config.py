@@ -78,6 +78,11 @@ class TrainConfig:
     # once per run instead of rfft2-ing the gathered donor batch every step
     # (ops/ram.banded_amplitude_spectrum; numerics identical)
     ram_precompute_donor_amp: bool = True
+    # banded-DFT RAM: replace the source rfft2/irfft2 pair with restricted
+    # DFT matmuls over the (2b+1)x(b+1) in-band block — MXU matmuls instead
+    # of TPU-slow FFTs; out-of-band content passes through exactly
+    # (ops/ram.ram_mixup_banded_dft; oracle-pinned in tests/test_ram.py)
+    ram_banded_dft: bool = True
     remat: bool = False  # jax.checkpoint the dual forward (memory <-> FLOPs)
     fused_dsbn: bool = True  # one rec-decoder pass with per-sample domains
     # one vmapped forward over the stacked clean+freq batch (2B conv rows);

@@ -182,22 +182,109 @@ def ram_mixup_banded(
     return jnp.fft.irfft2(fft, s=(h, w), axes=(1, 2))
 
 
+@functools.lru_cache(maxsize=16)
+def _band_dft_operators(h: int, w: int, L: float = 0.1):
+    """Restricted-DFT operator matrices for the banded path, as (re, im)
+    float32 pairs.
+
+    Row order matches `banded_amplitude_spectrum`: [0..b] then [h-b..h-1];
+    cols [0..b].  Analysis maps an (h, w) real image to its (2b+1, b+1)
+    in-band rfft2 coefficients; synthesis is the *inverse-FFT adjoint*
+    restricted to the band, with the conjugate-symmetry column weights
+    (2 for 0 < c <= b < w/2, 1 for c == 0 — mirror rows of the c == 0
+    column are themselves in the band, so their pair-sum is already real).
+    Built in float64, truncated to float32 once.
+    """
+    b = band_halfwidth(h, w, L)
+    rows = np.concatenate([np.arange(b + 1), np.arange(h - b, h)])
+    cols = np.arange(b + 1)
+    ar = np.exp(-2j * np.pi * np.outer(rows, np.arange(h)) / h)  # (R, h)
+    ac = np.exp(-2j * np.pi * np.outer(np.arange(w), cols) / w)  # (w, K)
+    sr = np.exp(2j * np.pi * np.outer(np.arange(h), rows) / h)  # (h, R)
+    wk = np.where(cols == 0, 1.0, 2.0) / (h * w)
+    sc = wk[:, None] * np.exp(2j * np.pi * np.outer(cols, np.arange(w)) / w)  # (K, w)
+    f32 = lambda z: (z.real.astype(np.float32), z.imag.astype(np.float32))
+    return f32(ar), f32(ac), f32(sr), f32(sc)
+
+
+def ram_mixup_banded_dft(
+    src: jax.Array, donor_amp_band: jax.Array, ratio: jax.Array, L: float = 0.1
+) -> jax.Array:
+    """`ram_mixup_banded` with the full-spectrum rfft2/irfft2 pair replaced by
+    four banded DFT *matmuls* (MXU work instead of TPU-slow VPU FFTs).
+
+    The mix only ever changes the (2b+1)x(b+1) in-band coefficients (77x39 of
+    384x193 at 384^2), so:  out = src + Re(S_r @ (Z' - Z) @ S_c)  where Z is
+    the in-band block of rfft2(src) computed directly by restricted DFT
+    matmuls and Z' is the amplitude-mixed block (`_mix_block` math).  Out-of-
+    band content passes through EXACTLY (the FFT path pays an fft->ifft
+    round-trip rounding there); in-band numerics are pinned to the same fp64
+    oracle in tests/test_ram.py.  ~0.13 GFLOP per 384^2 image-channel at
+    HIGHEST precision — noise next to the model step.
+    """
+    _, h, w, _ = src.shape
+    (arr, ari), (acr, aci), (srr, sri), (scr, sci) = map(
+        lambda p: (jnp.asarray(p[0]), jnp.asarray(p[1])), _band_dft_operators(h, w, L)
+    )
+    hi = jax.lax.Precision.HIGHEST
+    x = src.astype(jnp.float32)
+    # analysis: Z = A_r @ x @ A_c  (x real -> row pass is 2 real matmuls)
+    yr = jnp.einsum("rh,bhwc->brwc", arr, x, precision=hi)
+    yi = jnp.einsum("rh,bhwc->brwc", ari, x, precision=hi)
+    zr = jnp.einsum("brwc,wk->brkc", yr, acr, precision=hi) - jnp.einsum(
+        "brwc,wk->brkc", yi, aci, precision=hi
+    )
+    zi = jnp.einsum("brwc,wk->brkc", yr, aci, precision=hi) + jnp.einsum(
+        "brwc,wk->brkc", yi, acr, precision=hi
+    )
+    # amplitude mix (same formula as _mix_block); Delta = Z' - Z
+    r = ratio.reshape((-1,) + (1,) * (src.ndim - 1))
+    amp = jnp.sqrt(zr * zr + zi * zi)
+    new_amp = r * amp + (1.0 - r) * donor_amp_band
+    safe = jnp.maximum(amp, jnp.finfo(amp.dtype).tiny)
+    scale = new_amp / safe - 1.0  # exactly 0 when ratio == 1 (amp/amp == 1)
+    zero = amp == 0.0
+    dr = jnp.where(zero, new_amp, zr * scale)
+    di = jnp.where(zero, 0.0, zi * scale)
+    # synthesis: out = src + Re(S_r @ Delta @ S_c)
+    tr = jnp.einsum("hr,brkc->bhkc", srr, dr, precision=hi) - jnp.einsum(
+        "hr,brkc->bhkc", sri, di, precision=hi
+    )
+    ti = jnp.einsum("hr,brkc->bhkc", srr, di, precision=hi) + jnp.einsum(
+        "hr,brkc->bhkc", sri, dr, precision=hi
+    )
+    delta = jnp.einsum("bhkc,kw->bhwc", tr, scr, precision=hi) - jnp.einsum(
+        "bhkc,kw->bhwc", ti, sci, precision=hi
+    )
+    return x + delta
+
+
 def ram_augment_fundus_banded(
-    img255: jax.Array, donor_amp_band: jax.Array, key: jax.Array, L: float = 0.1
+    img255: jax.Array,
+    donor_amp_band: jax.Array,
+    key: jax.Array,
+    L: float = 0.1,
+    use_dft: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """`ram_augment_fundus` with the donor FFT hoisted out of the step."""
     ratio = sample_ram_ratios(key, img255.shape[0])
-    freq = ram_mixup_banded(img255, donor_amp_band, ratio, L)
+    mix = ram_mixup_banded_dft if use_dft else ram_mixup_banded
+    freq = mix(img255, donor_amp_band, ratio, L)
     freq = jnp.clip(freq, 0.0, 255.0)
     return img255 / 127.5 - 1.0, freq / 127.5 - 1.0
 
 
 def ram_augment_prostate_banded(
-    img: jax.Array, donor_amp_band: jax.Array, key: jax.Array, L: float = 0.1
+    img: jax.Array,
+    donor_amp_band: jax.Array,
+    key: jax.Array,
+    L: float = 0.1,
+    use_dft: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """`ram_augment_prostate` with the donor FFT hoisted out of the step."""
     ratio = sample_ram_ratios(key, img.shape[0])
-    freq = ram_mixup_banded(img, donor_amp_band, ratio, L)
+    mix = ram_mixup_banded_dft if use_dft else ram_mixup_banded
+    freq = mix(img, donor_amp_band, ratio, L)
     return img.astype(jnp.float32), jnp.clip(freq, -1.0, 1.0)
 
 

@@ -162,7 +162,9 @@ def make_train_step(
                 )
 
                 aug_b = ram_augment_fundus_banded if is_fundus else ram_augment_prostate_banded
-                img, img_freq = aug_b(batch["img"], batch["donor_amp"], key)
+                img, img_freq = aug_b(
+                    batch["img"], batch["donor_amp"], key, use_dft=cfg.ram_banded_dft
+                )
             else:
                 aug = ram_augment_fundus if is_fundus else ram_augment_prostate
                 img, img_freq = aug(

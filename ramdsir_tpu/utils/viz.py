@@ -19,8 +19,13 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
-GREEN = np.array([0, 255, 0], np.float32)  # ground truth contour
-BLUE = np.array([0, 0, 255], np.float32)  # prediction contour
+GREEN = np.array([0, 255, 0], np.float32)
+BLUE = np.array([0, 0, 255], np.float32)
+RED = np.array([255, 0, 0], np.float32)  # ground truth contour
+
+# the reference's 7-point neighborhood stamp around every contour point
+# (utils.py:166-173 — +-1 offsets giving the ~3 px line)
+_STAMP_OFFSETS = ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 0), (-1, -1), (0, -1))
 
 
 def mask_contour(mask: np.ndarray) -> np.ndarray:
@@ -30,32 +35,92 @@ def mask_contour(mask: np.ndarray) -> np.ndarray:
     return m & ~er
 
 
+def _contour_points(mask: np.ndarray) -> np.ndarray:
+    """The level-0.5 crossing points skimage `measure.find_contours` emits on
+    a binary map, as (N, 2) float (row, col) — every point of every contour
+    lies at the midpoint of an edge between a 0-pixel and a 1-pixel, so the
+    set is exactly the adjacent-differing pairs (no marching-squares walk
+    needed to reproduce the reference's stamped PIXEL set; path order only
+    matters for line drawing, which the reference doesn't do)."""
+    m = np.asarray(mask) > 0.5
+    rh, ch = np.nonzero(m[:, :-1] != m[:, 1:])  # (r, c+0.5)
+    rv, cv = np.nonzero(m[:-1, :] != m[1:, :])  # (r+0.5, c)
+    return np.concatenate(
+        [
+            np.stack([rh.astype(np.float64), ch + 0.5], 1),
+            np.stack([rv + 0.5, cv.astype(np.float64)], 1),
+        ]
+    )
+
+
+def _stamp_contours(out: np.ndarray, mask: np.ndarray, color) -> None:
+    """Stamp a binary map's contours onto `out` exactly like the reference's
+    `patch_image[(contour[:, 0] + d0).astype(int), (contour[:, 1] + d1)
+    .astype(int)] = color` loops (utils.py:164-211): truncation toward zero
+    on the half-integer coordinate, numpy negative-index wraparound on the
+    integer one.  Points the reference would IndexError on (mask touching
+    the bottom/right edge — unreachable there because pred borders are
+    zeroed and real GTs never touch the frame) are dropped instead."""
+    pts = _contour_points(mask)
+    if not len(pts):
+        return
+    h, w = out.shape[:2]
+    for dr, dc in _STAMP_OFFSETS:
+        r = (pts[:, 0] + dr).astype(int)
+        c = (pts[:, 1] + dc).astype(int)
+        keep = (r < h) & (c < w) & (r >= -h) & (c >= -w)
+        out[r[keep], c[keep]] = color
+
+
+def _zero_border(m: np.ndarray) -> np.ndarray:
+    """Copy with the outermost frame zeroed (utils.py:150-159 — the
+    reference mutates the caller's prob_map; we keep it pure)."""
+    m = np.array(m, copy=True)
+    m[0, :] = 0
+    m[-1, :] = 0
+    m[:, 0] = 0
+    m[:, -1] = 0
+    return m
+
+
 def overlay_contours(
     img: np.ndarray,
     pred: Optional[np.ndarray] = None,
     gt: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Draw pred (blue) and gt (green) contours onto an (H, W, 3) image.
+    """Reference `save_per_img`/`save_per_img_prostate` overlay semantics
+    (utils.py:148-260):
 
-    pred/gt may be (H, W) binary or (C, H, W) multi-channel; every channel's
-    contour is drawn (cup + disc for fundus).
+      * pred channel 1 stamped GREEN first, channel 0 BLUE second (fundus —
+        the reference draws `prob_map[1]` green then `prob_map[0]` blue);
+        a single-channel pred is GREEN (prostate).
+      * pred maps get their border frame zeroed first so edge blobs close.
+      * EVERY gt channel runs through get_largest_fillhole, then RED, last.
+      * ~3 px lines via the 7-point stamp around each find_contours point.
+
+    pred/gt may be (H, W) or (C, H, W).
     """
+    from ramdsir_tpu.ops.postprocess import get_largest_fillhole
+
     out = np.asarray(img, np.float32).copy()
     if out.ndim == 2:
         out = np.repeat(out[..., None], 3, axis=-1)
+    out = np.clip(out, 0, 255)
 
-    def draw(masks, color):
-        if masks is None:
-            return
-        m = np.asarray(masks)
-        if m.ndim == 2:
-            m = m[None]
-        for ch in m:
-            out[mask_contour(ch)] = color
-
-    draw(gt, GREEN)
-    draw(pred, BLUE)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    if pred is not None:
+        p = np.asarray(pred)
+        if p.ndim == 2:
+            p = p[None]
+        colors = [GREEN] if len(p) == 1 else [BLUE] + [GREEN] * (len(p) - 1)
+        for ch, color in zip(p[::-1], colors[::-1]):  # channel 1 first
+            _stamp_contours(out, _zero_border(ch), color)
+    if gt is not None:
+        g = np.asarray(gt)
+        if g.ndim == 2:
+            g = g[None]
+        for ch in g:
+            _stamp_contours(out, get_largest_fillhole(ch).astype(np.uint8), RED)
+    return out.astype(np.uint8)
 
 
 def save_per_img(
@@ -64,9 +129,11 @@ def save_per_img(
     name: str,
     pred: Optional[np.ndarray] = None,
     gt: Optional[np.ndarray] = None,
-    ext: str = "bmp",
+    ext: str = "png",
 ) -> str:
-    """Overlay writer (reference save_per_img / save_per_img_prostate)."""
+    """Overlay writer (reference save_per_img / save_per_img_prostate —
+    which always writes `.png` regardless of its `ext` argument,
+    utils.py:148-149/216)."""
     os.makedirs(output_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(str(name).split(" ")[0]))[0]
     path = os.path.join(output_dir, f"{base}.{ext}")

@@ -76,13 +76,63 @@ def test_dsbn_banks_in_torch_view(state_and_cfg):
 def test_overlay_and_heatmaps(tmp_path):
     img = np.zeros((32, 32, 3), np.uint8) + 50
     pred = np.zeros((2, 32, 32), bool)
-    pred[0, 8:16, 8:16] = True
+    pred[0, 8:16, 8:16] = True  # "cup" channel -> BLUE (utils.py:164-173)
+    pred[1, 4:28, 4:28] = True  # "disc" channel -> GREEN
     gt = np.zeros((32, 32), bool)
-    gt[10:20, 10:20] = True
+    gt[10:20, 10:20] = True  # -> RED (utils.py:185-211)
     out = overlay_contours(img, pred, gt)
-    assert (out == [0, 0, 255]).all(-1).any() and (out == [0, 255, 0]).all(-1).any()
+    for color in ([0, 0, 255], [0, 255, 0], [255, 0, 0]):
+        assert (out == color).all(-1).any(), color
     p = save_per_img(img, str(tmp_path), "a/b img.png extra", pred, gt)
-    assert os.path.exists(p)
+    assert os.path.exists(p) and p.endswith(".png")  # ref always writes .png
+
+
+def test_overlay_reference_stamp_semantics():
+    """Pixel semantics of the reference's contour stamping
+    (utils.py:148-211): ~3 px lines from the 7-point stamp, pred borders
+    zeroed, GT fill-holed, draw order green -> blue -> red."""
+    from ramdsir_tpu.utils.viz import _contour_points
+
+    # a 1-pixel mask at (5,5): 4 crossings -> points (5,4.5),(5,5.5),
+    # (4.5,5),(5.5,5); stamped set = the 3x3 block around it plus the
+    # truncation corners the reference's +-1 offsets reach
+    m = np.zeros((12, 12), bool)
+    m[5, 5] = True
+    pts = _contour_points(m)
+    assert len(pts) == 4
+    img = np.zeros((12, 12, 3), np.uint8)
+    out = overlay_contours(img, pred=m.astype(float))
+    stamped = set(zip(*np.nonzero((out == [0, 255, 0]).all(-1))))
+    want = set()
+    for p in [(5.0, 4.5), (5.0, 5.5), (4.5, 5.0), (5.5, 5.0)]:
+        for dr, dc in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 0), (-1, -1), (0, -1)):
+            want.add((int(p[0] + dr), int(p[1] + dc)))
+    assert stamped == want
+
+    # pred border zeroing: a mask touching the frame still closes its contour
+    edge = np.zeros((12, 12), bool)
+    edge[0:4, 0:4] = True
+    out = overlay_contours(img, pred=edge.astype(float))
+    assert (out == [0, 255, 0]).all(-1).any()
+
+    # GT fill-hole: a hollow GT square draws NO inner red ring
+    hollow = np.zeros((16, 16), bool)
+    hollow[3:13, 3:13] = True
+    hollow[6:10, 6:10] = False
+    solid = np.zeros((16, 16), bool)
+    solid[3:13, 3:13] = True
+    out_h = overlay_contours(np.zeros((16, 16, 3), np.uint8), gt=hollow)
+    out_s = overlay_contours(np.zeros((16, 16, 3), np.uint8), gt=solid)
+    np.testing.assert_array_equal(out_h, out_s)
+
+    # precedence: overlapping pred channels -> channel 0 (blue, drawn
+    # second) wins over channel 1 (green) like the reference's loop order
+    both = np.zeros((2, 16, 16), bool)
+    both[0, 4:12, 4:12] = True
+    both[1, 4:12, 4:12] = True
+    out = overlay_contours(np.zeros((16, 16, 3), np.uint8), pred=both)
+    assert (out == [0, 0, 255]).all(-1).any()
+    assert not (out == [0, 255, 0]).all(-1).any()
 
     probs = np.random.default_rng(0).dirichlet([1, 1], size=(16, 16))
     ent = entropy_map(probs)

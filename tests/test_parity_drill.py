@@ -59,6 +59,45 @@ def test_drill_runs_and_reports(drill_env, capsys):
         drill_main(_argv(root, pth, ["--expect", "cup_dice=5.0"]))
 
 
+def test_drill_sweep_all_targets(drill_env, capsys):
+    """--sweep runs every fundus leave-one-out target from a ckpt_dir using
+    the documented naming conventions and prints the combined table."""
+    import json
+    import shutil
+
+    root, pth = drill_env
+    ckpt_dir = os.path.join(root, "ckpts")
+    # exercise three lookup conventions at once
+    os.makedirs(os.path.join(ckpt_dir, "target1"), exist_ok=True)
+    os.makedirs(os.path.join(ckpt_dir, "2"), exist_ok=True)
+    shutil.copy(pth, os.path.join(ckpt_dir, "target0.pth"))
+    shutil.copy(pth, os.path.join(ckpt_dir, "target1", "final_model.pth"))
+    shutil.copy(pth, os.path.join(ckpt_dir, "2", "model_0.7312.pth"))
+    shutil.copy(pth, os.path.join(ckpt_dir, "3.pth"))
+
+    argv = [
+        "--dataset", "fundus", "--data_dir", root, "--sweep",
+        "--ckpt_dir", ckpt_dir, "--batch_size", "2", "--image_size", "48",
+        "--out_dir", os.path.join(root, "sweep_out"),
+    ]
+    results = drill_main(argv)
+    out = capsys.readouterr().out
+    assert "sweep: 4/4 targets ran" in out
+    assert set(results) == {0, 1, 2, 3}
+    assert all(rows is not None for rows in results.values())
+
+    # expect_file: our own numbers back -> overall PASS
+    expect = {
+        str(idx): {r["metric"]: r["ours"] for r in rows}
+        for idx, rows in results.items()
+    }
+    efile = os.path.join(root, "refs.json")
+    with open(efile, "w") as f:
+        json.dump(expect, f)
+    drill_main(argv + ["--expect_file", efile])
+    assert "north star overall: PASS" in capsys.readouterr().out
+
+
 def test_build_table_directions():
     class R:
         dice, hd, asd = 0.90, 10.0, 2.0

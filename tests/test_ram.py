@@ -153,6 +153,75 @@ def test_banded_mixup_matches_oracle():
             np.testing.assert_allclose(got[i], want, atol=2e-2, rtol=1e-5)
 
 
+@pytest.mark.parametrize("h,w", [(64, 64), (65, 63), (32, 48)])
+def test_banded_dft_matches_fft_path(h, w):
+    """The restricted-DFT matmul path == the FFT banded path (same mix math;
+    out-of-band passes through exactly instead of via an fft->ifft
+    round-trip, so the only difference is matmul-vs-FFT rounding)."""
+    from ramdsir_tpu.ops.ram import (
+        banded_amplitude_spectrum,
+        ram_mixup_banded,
+        ram_mixup_banded_dft,
+    )
+
+    rng = np.random.default_rng(11)
+    src = rng.uniform(0, 255, (3, h, w, 3)).astype(np.float32)
+    donor = rng.uniform(0, 255, (3, h, w, 3)).astype(np.float32)
+    ratio = jnp.asarray([0.2, 0.6, 1.0], jnp.float32)
+    damp = banded_amplitude_spectrum(jnp.asarray(donor))
+
+    fft = ram_mixup_banded(jnp.asarray(src), damp, ratio)
+    dft = ram_mixup_banded_dft(jnp.asarray(src), damp, ratio)
+    np.testing.assert_allclose(np.asarray(dft), np.asarray(fft), atol=5e-3, rtol=1e-5)
+    # ratio == 1: scale-1 == 0 exactly -> delta == 0 -> out IS src, bit-exact
+    np.testing.assert_array_equal(np.asarray(dft)[2], src[2])
+
+
+def test_banded_dft_matches_oracle():
+    from ramdsir_tpu.ops.ram import banded_amplitude_spectrum, ram_mixup_banded_dft
+
+    rng = np.random.default_rng(12)
+    src = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    donor = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    for ratio in (0.1, 0.5):
+        got = np.asarray(
+            ram_mixup_banded_dft(
+                jnp.asarray(src),
+                banded_amplitude_spectrum(jnp.asarray(donor)),
+                jnp.full((2,), ratio, jnp.float32),
+            )
+        )
+        for i in range(2):
+            want = oracle_ram(src[i], donor[i], ratio)
+            np.testing.assert_allclose(got[i], want, atol=2e-2, rtol=1e-5)
+
+
+def test_banded_dft_wrappers_match_fft_wrappers():
+    from ramdsir_tpu.ops.ram import (
+        banded_amplitude_spectrum,
+        ram_augment_fundus_banded,
+        ram_augment_prostate_banded,
+    )
+
+    rng = np.random.default_rng(13)
+    key = jax.random.PRNGKey(6)
+    src = rng.uniform(0, 255, (4, 48, 48, 3)).astype(np.float32)
+    donor = rng.uniform(0, 255, (4, 48, 48, 3)).astype(np.float32)
+    damp = banded_amplitude_spectrum(jnp.asarray(donor))
+    img_a, freq_a = ram_augment_fundus_banded(jnp.asarray(src), damp, key)
+    img_b, freq_b = ram_augment_fundus_banded(jnp.asarray(src), damp, key, use_dft=True)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a), atol=0)
+    np.testing.assert_allclose(np.asarray(freq_b), np.asarray(freq_a), atol=5e-4)
+
+    srcp = rng.uniform(-1, 1, (4, 48, 48, 3)).astype(np.float32)
+    donorp = rng.uniform(-1, 1, (4, 48, 48, 3)).astype(np.float32)
+    dampp = banded_amplitude_spectrum(jnp.asarray(donorp))
+    img_a, freq_a = ram_augment_prostate_banded(jnp.asarray(srcp), dampp, key)
+    img_b, freq_b = ram_augment_prostate_banded(jnp.asarray(srcp), dampp, key, use_dft=True)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a), atol=0)
+    np.testing.assert_allclose(np.asarray(freq_b), np.asarray(freq_a), atol=5e-6)
+
+
 def test_banded_amplitude_chunking_and_shape():
     """Chunked pool precompute == per-image slices of the full amplitude."""
     from ramdsir_tpu.ops.ram import band_halfwidth, banded_amplitude_spectrum
