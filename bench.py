@@ -175,6 +175,7 @@ def main_eval(dataset: str = "fundus") -> None:
 def build_bench_setup(
     dataset: str = "fundus", batch: int = 0, remat: bool = False,
     donor_amp: bool = True, pallas: bool = False, donate: bool = True,
+    s2d_levels: int = -1,
 ) -> dict:
     """The flagship step exactly as the headline bench measures it:
     (cfg, state, jitted step, device batch).  Shared with benchmarks/mfu.py
@@ -202,6 +203,7 @@ def build_bench_setup(
         # operates on the full half-spectrum; the banded default has no
         # per-step donor spectrum to fuse)
         ram_use_pallas=pallas,
+        **({} if s2d_levels < 0 else {"s2d_levels": s2d_levels}),
         **(
             dict(image_size=256, domain_idxs=(0, 1, 2), test_domain_idx=0)
             if is_fundus
@@ -248,11 +250,13 @@ def build_bench_setup(
 def main(
     dataset: str = "fundus", batch: int = 0, remat: bool = False,
     trace_dir: str = "", donor_amp: bool = True, pallas: bool = False,
+    s2d_levels: int = -1,
 ) -> dict:
     import jax
 
     setup = build_bench_setup(
-        dataset, batch=batch, remat=remat, donor_amp=donor_amp, pallas=pallas
+        dataset, batch=batch, remat=remat, donor_amp=donor_amp, pallas=pallas,
+        s2d_levels=s2d_levels,
     )
     state, step, batch = setup["state"], setup["step"], setup["batch"]
     batch_size, s = setup["batch_size"], setup["image_size"]
@@ -294,6 +298,7 @@ def main(
             + (", remat" if remat else "")
             + (", donor-img FFT in step" if not donor_amp else "")
             + (", pallas mix" if pallas else "")
+            + (f", s2d={s2d_levels}" if s2d_levels >= 0 else "")
             + ")"
         ),
         "value": round(imgs_per_sec, 2),
@@ -393,6 +398,7 @@ if __name__ == "__main__":
             dataset=ds, batch=_opt("--batch"), remat="--remat" in argv,
             trace_dir=tdir, pallas=use_pallas,
             donor_amp="--donor_img" not in argv and not use_pallas,
+            s2d_levels=_opt("--s2d", -1),
         )))
     else:
         # the driver's default invocation: ONE JSON line carrying the

@@ -115,11 +115,19 @@ def make_train_step(
             pred = jax.nn.sigmoid(lg)
             return pred, bce_with_logits_loss(lg, mask), dice_loss(pred, mask)
         if binary_head:
+            head_hw["hw"] = logits.shape[1:3]  # trace-time; viz unflattens
             l = logits[..., 1].astype(jnp.float32) - logits[..., 0].astype(jnp.float32)
+            # FLAT (B, H*W) maps: the (B, H, W) forms get a batch-minor XLA
+            # layout (10 of 128 lanes — the r5 trace measured the backward
+            # grad-accumulate of this map at 29 GB/s, 1.9 ms/step); flat
+            # puts H*W in the minor dim, full lanes.  Every binary loss is
+            # elementwise + global mean, so the reshape is exact.
+            l = l.reshape(l.shape[0], -1)
+            m = mask.reshape(mask.shape[0], -1)
             # CE over 2 softmax classes == BCE-with-logits on the difference;
             # dice_loss_multi(C=2, ignore_index=0) == plain dice on class 1
-            return l, bce_with_logits_loss(l, mask), dice_loss(
-                jax.nn.sigmoid(l), (mask == 1)
+            return l, bce_with_logits_loss(l, m), dice_loss(
+                jax.nn.sigmoid(l), (m == 1)
             )
         lg = logits.astype(jnp.float32)
         pred = jax.nn.softmax(lg, axis=-1)
@@ -139,12 +147,15 @@ def make_train_step(
             return binary_mse_consistency(repr2, repr1)
         return mse_loss(repr2, repr1)
 
+    head_hw = {}  # (H, W) of the seg logits, recorded at trace time
+
     def viz_probs(repr1):
         """Viz slice as (n,H,W,C) probabilities whatever the head repr."""
         if binary_head:
-            return jnp.stack(
-                [jax.nn.sigmoid(-repr1), jax.nn.sigmoid(repr1)], axis=-1
-            )
+            # repr is the flat (n, H*W) logit-difference map (see seg_head)
+            h, w = head_hw["hw"]
+            l = repr1.reshape(repr1.shape[0], h, w)
+            return jnp.stack([jax.nn.sigmoid(-l), jax.nn.sigmoid(l)], axis=-1)
         return repr1
 
     def loss_fn(params, batch_stats, batch, key):
