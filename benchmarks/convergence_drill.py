@@ -11,11 +11,15 @@ eval Dice on the held-out domain, sampled every --eval_every steps for
 ours, the clean twin, and the envelope twin.
 
 Verdict per eval point: |dice_ours - dice_torch| must stay within
-max(K * |dice_env - dice_torch|, floor) — the envelope twin IS an honest
-reference implementation, so our divergence from the oracle may not exceed
-a small multiple of fp-noise chaos.  Loss curves are compared as
-trailing-window means (per-step losses are chaotic past ~20 steps; the
-MEAN tracks the optimization trajectory).
+max(K * runmax_{s<=t} max_i |dice_env_i - dice_torch|, floor) — the
+envelope twins ARE honest reference implementations (fp-jittered
+gradients at the measured f32 disagreement scale), so our divergence from
+the oracle may not exceed a small multiple of fp-noise chaos.  Two jitter
+realizations and a running max because chaos divergence is non-decreasing
+in expectation while any single realization can momentarily cross the
+clean trajectory.  Loss curves are compared as trailing-window means
+(per-step losses are chaotic past ~20 steps; the MEAN tracks the
+optimization trajectory).
 
 Run (CPU, ~10-20 min):  python benchmarks/convergence_drill.py --steps 300
 Results land in one JSON line; paste the table into BENCH_NOTES.md.
@@ -88,7 +92,10 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
     import tests.test_torch_trajectory as traj_mod
 
     root = tempfile.mkdtemp(prefix="conv_drill_")
-    make_fundus_tree(root, per_domain_train=24, per_domain_test=6, size=hw)
+    # 24 held-out eval images: the eval-Dice metric's OWN variance must be
+    # small next to the trajectory divergence it judges (a 6-image split
+    # made the envelope twin swing +-0.09 between adjacent eval points)
+    make_fundus_tree(root, per_domain_train=24, per_domain_test=24, size=hw)
     cfg = TrainConfig(
         dataset="fundus", data_root=root, image_size=hw,
         domain_idxs=(0, 1, 2), test_domain_idx=3,
@@ -98,10 +105,22 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
     ).resolve()
     bsl = cfg.batch_size_list  # the reference's hard-coded [2,4,10] table
     state, models = init_state(cfg, jax.random.PRNGKey(seed))
-    # the twins' poly-LR horizon must equal ours
+    # the twins' poly-LR horizon must equal ours; restore the module global
+    # afterwards (the pytest smoke shares a process with the 10-step
+    # trajectory tests, whose twins read the same horizon)
+    prev_total_iters = traj_mod.TOTAL_ITERS
     traj_mod.TOTAL_ITERS = steps
     twin = traj_mod.TorchReferenceTrainer(state, cfg, len(bsl), bsl)
-    twin_env = traj_mod.TorchReferenceTrainer(state, cfg, len(bsl), bsl, grad_jitter=1.0)
+    # TWO jitter realizations: a single jittered twin is one sample of the
+    # chaos process and can land arbitrarily close to the clean twin at any
+    # eval point (observed: |env-torch| = 0.006 at a point where a second
+    # realization was 0.09 away); the envelope is the max over realizations
+    envs = [
+        traj_mod.TorchReferenceTrainer(
+            state, cfg, len(bsl), bsl, grad_jitter=1.0, jitter_seed=s
+        )
+        for s in (1234, 4321)
+    ]
     step = make_train_step(cfg, models, total_iters=steps, batch_size_list=bsl)
     predict = make_predict_fn(cfg, models, bn_adapt=False)
 
@@ -126,18 +145,23 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
         return _dice_2ch(probs, test_masks)
 
     base_key = jax.random.PRNGKey(77)
-    curves = {"step": [], "dice_ours": [], "dice_torch": [], "dice_env": []}
+    curves = {"step": [], "dice_ours": [], "dice_torch": [],
+              "dice_env": [], "dice_env2": []}
     losses = {"ours": [], "torch": [], "env": []}
     i = 0
     epoch = 0
     t0 = time.time()
-    while i < steps:
+    try:
+      while i < steps:
         it = build_train_loaders(cfg, os.path.join(root, "fundus"), seed=cfg.seed + epoch)
         for batch in it:
             if i >= steps:
                 break
             batch = {k: np.asarray(v) for k, v in batch.items()
                      if k in ("img", "donor", "mask")}
+            # loaders yield uint8 multilabel masks; the torch twin's BCELoss
+            # wants float (the jitted step casts internally, torch won't)
+            batch["mask"] = batch["mask"].astype(np.float32)
             key = jax.random.fold_in(base_key, i)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics, _ = step(state, jb, key)
@@ -145,13 +169,17 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
             img_n, img_freq = ram_augment_fundus(jb["img"], jb["donor"], key)
             img_n, img_freq = np.asarray(img_n), np.asarray(img_freq)
             losses["torch"].append(twin.step(img_n, img_freq, batch["mask"])["loss"])
-            losses["env"].append(twin_env.step(img_n, img_freq, batch["mask"])["loss"])
+            env_losses = [
+                e.step(img_n, img_freq, batch["mask"])["loss"] for e in envs
+            ]
+            losses["env"].append(env_losses[0])
             i += 1
             if i % eval_every == 0 or i == steps:
                 curves["step"].append(i)
                 curves["dice_ours"].append(our_eval_dice())
                 curves["dice_torch"].append(_torch_eval_dice(twin, test_imgs_n, test_masks))
-                curves["dice_env"].append(_torch_eval_dice(twin_env, test_imgs_n, test_masks))
+                curves["dice_env"].append(_torch_eval_dice(envs[0], test_imgs_n, test_masks))
+                curves["dice_env2"].append(_torch_eval_dice(envs[1], test_imgs_n, test_masks))
                 print(
                     f"step {i:4d}: dice ours {curves['dice_ours'][-1]:.4f} "
                     f"torch {curves['dice_torch'][-1]:.4f} "
@@ -162,17 +190,27 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
                     flush=True,
                 )
         epoch += 1
+    finally:
+        traj_mod.TOTAL_ITERS = prev_total_iters
 
-    # verdicts
+    # verdicts.  The dice budget at step t is the RUNNING MAX of the
+    # envelope twins' divergence up to t: chaotic trajectory divergence is
+    # non-decreasing in expectation, and the instantaneous |env - torch|
+    # can collapse to ~0 whenever two trajectories happen to cross (both
+    # observed in the first recorded run; BENCH_NOTES round 5).
     rows, ok_all = [], True
+    env_runmax = 0.0
     for j, s in enumerate(curves["step"]):
-        do, dt, de = (curves["dice_ours"][j], curves["dice_torch"][j],
-                      curves["dice_env"][j])
-        budget = max(K_DICE * abs(de - dt), DICE_FLOOR)
+        do, dt = curves["dice_ours"][j], curves["dice_torch"][j]
+        de = max(abs(curves["dice_env"][j] - dt), abs(curves["dice_env2"][j] - dt))
+        env_runmax = max(env_runmax, de)
+        budget = max(K_DICE * env_runmax, DICE_FLOOR)
         ok = abs(do - dt) <= budget
         ok_all &= ok
         rows.append(dict(step=s, dice_ours=round(do, 4), dice_torch=round(dt, 4),
-                         dice_env=round(de, 4), budget=round(budget, 4),
+                         dice_env=round(curves["dice_env"][j], 4),
+                         dice_env2=round(curves["dice_env2"][j], 4),
+                         budget=round(budget, 4),
                          ok=ok))
     w = max(5, steps // 10)
     tails = {k: float(np.mean(v[-w:])) for k, v in losses.items()}

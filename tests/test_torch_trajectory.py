@@ -69,7 +69,8 @@ class TorchReferenceTrainer:
     primitives, initialized from OUR weights; steps in lockstep with our
     jitted step given the same (img, img_freq, mask) arrays."""
 
-    def __init__(self, state, cfg, n_domains, bsl, grad_jitter=0.0):
+    def __init__(self, state, cfg, n_domains, bsl, grad_jitter=0.0,
+                 jitter_seed=1234):
         self.cfg = cfg
         self.bsl = bsl
         # fp-noise envelope twin: ADDITIVE Gaussian jitter on each step's
@@ -83,7 +84,7 @@ class TorchReferenceTrainer:
         # entry, so only SIGN FLIPS of near-zero gradients move the
         # trajectory, and multiplicative noise never flips a sign.
         self.grad_jitter = grad_jitter
-        self.jitter_gen = torch.Generator().manual_seed(1234)
+        self.jitter_gen = torch.Generator().manual_seed(jitter_seed)
         self.is_fundus = cfg.dataset == "fundus"
         self.enc, self.dec = TEncoder(), TDecoder()
         self.rec = TRecDecoder(domains=n_domains)
