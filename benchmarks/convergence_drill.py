@@ -21,12 +21,15 @@ clean trajectory.  Loss curves are compared as trailing-window means
 (per-step losses are chaotic past ~20 steps; the MEAN tracks the
 optimization trajectory).
 
-Run (CPU, ~10-20 min):  python benchmarks/convergence_drill.py --steps 300
+Run (CPU, ~15-30 min):  python benchmarks/convergence_drill.py --steps 300
+                        [--dataset prostate]
 Results land in one JSON line; paste the table into BENCH_NOTES.md.
 
 Reference being certified: /root/reference/code/train.py:214-361 (the
 fundus loop: dual forward, BCE+dice both heads, KD consistency, per-domain
-rec MSE, Adam groups with encoder lr/2, post-step poly LR).
+rec MSE, Adam groups with encoder lr/2, post-step poly LR) and
+train.py:363-528 (the prostate loop: CE + dice_multi on 5-domain DSBN,
+same dual/KD/rec structure).
 """
 from __future__ import annotations
 
@@ -55,7 +58,11 @@ def _torch_eval_dice(twin, imgs_n, masks, thr=0.75):
     twin.dec.eval()
     with torch.no_grad():
         t = torch.from_numpy(imgs_n.transpose(0, 3, 1, 2))
-        probs = torch.sigmoid(twin.dec(twin.enc(t))).numpy()
+        logits = twin.dec(twin.enc(t))
+        if twin.is_fundus:
+            probs = torch.sigmoid(logits).numpy()
+        else:
+            probs = torch.softmax(logits, dim=1)[:, 1:2].numpy()
     twin.enc.train()
     twin.dec.train()
     return _dice_2ch(probs.transpose(0, 2, 3, 1), masks, thr)
@@ -76,32 +83,38 @@ def _dice_2ch(probs_nhwc, masks_nhwc, thr=0.75):
     return float(np.mean(dices))
 
 
-def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
+def run(steps=300, eval_every=25, hw=64, seed=0, out_json="", dataset="fundus"):
     import jax
     import jax.numpy as jnp
 
     from ramdsir_tpu.config import TrainConfig
     from ramdsir_tpu.data.fundus import FundusDataset
-    from ramdsir_tpu.data.synthetic import make_fundus_tree
+    from ramdsir_tpu.data.prostate import ProstateDataset
+    from ramdsir_tpu.data.synthetic import make_fundus_tree, make_prostate_tree
     from ramdsir_tpu.data.transforms import Compose, Resize
-    from ramdsir_tpu.ops.ram import ram_augment_fundus
+    from ramdsir_tpu.ops.ram import ram_augment_fundus, ram_augment_prostate
     from ramdsir_tpu.train.loop import build_train_loaders
     from ramdsir_tpu.train.state import init_state
     from ramdsir_tpu.train.steps import make_predict_fn, make_train_step
 
     import tests.test_torch_trajectory as traj_mod
 
+    is_fundus = dataset == "fundus"
     root = tempfile.mkdtemp(prefix="conv_drill_")
     # 24 held-out eval images: the eval-Dice metric's OWN variance must be
     # small next to the trajectory divergence it judges (a 6-image split
     # made the envelope twin swing +-0.09 between adjacent eval points)
-    make_fundus_tree(root, per_domain_train=24, per_domain_test=24, size=hw)
+    if is_fundus:
+        make_fundus_tree(root, per_domain_train=24, per_domain_test=24, size=hw)
+        extra = dict(domain_idxs=(0, 1, 2), test_domain_idx=3)
+    else:
+        make_prostate_tree(root, per_domain=24, size=hw)
+        extra = dict(domain_idxs=(0, 1, 2, 3, 4), test_domain_idx=5)
     cfg = TrainConfig(
-        dataset="fundus", data_root=root, image_size=hw,
-        domain_idxs=(0, 1, 2), test_domain_idx=3,
+        dataset=dataset, data_root=root, image_size=hw,
         ram=True, rec=True, consistency=True, consistency_type="kd",
         save_path=os.path.join(root, "run"), device_data=False,
-        loader="thread",
+        loader="thread", **extra,
     ).resolve()
     bsl = cfg.batch_size_list  # the reference's hard-coded [2,4,10] table
     state, models = init_state(cfg, jax.random.PRNGKey(seed))
@@ -125,24 +138,42 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
     predict = make_predict_fn(cfg, models, bn_adapt=False)
 
     # held-out test split at train resolution
-    testset = FundusDataset(
-        base_dir=os.path.join(root, "fundus"), domain_idx=3, split="test",
-        transform=Compose([Resize((hw, hw))]),
-    )
-    from ramdsir_tpu.data.transforms import fundus_multilabel
-
     test_imgs, test_masks = [], []
-    for i in range(len(testset)):
-        s = testset[i]
-        test_imgs.append(np.asarray(s["img"], np.float32))
-        test_masks.append(fundus_multilabel(np.asarray(s["mask"])).astype(np.float32))
-    test_imgs = np.stack(test_imgs)  # (N, hw, hw, 3) in [0,255]
-    test_masks = np.stack(test_masks)  # (N, hw, hw, 2)
-    test_imgs_n = test_imgs / 127.5 - 1.0
+    if is_fundus:
+        testset = FundusDataset(
+            base_dir=os.path.join(root, "fundus"), domain_idx=3, split="test",
+            transform=Compose([Resize((hw, hw))]),
+        )
+        from ramdsir_tpu.data.transforms import fundus_multilabel
+
+        for i in range(len(testset)):
+            s = testset[i]
+            test_imgs.append(np.asarray(s["img"], np.float32))
+            test_masks.append(
+                fundus_multilabel(np.asarray(s["mask"])).astype(np.float32)
+            )
+        test_imgs = np.stack(test_imgs)  # (N, hw, hw, 3) in [0,255]
+        test_masks = np.stack(test_masks)  # (N, hw, hw, 2)
+        test_imgs_n = test_imgs / 127.5 - 1.0
+    else:
+        testset = ProstateDataset(os.path.join(root, "prostate"), domain_idx=5)
+        for i in range(len(testset)):
+            s = testset[i]
+            test_imgs.append(np.asarray(s["img"], np.float32))
+            # binary foreground channel -> _dice_2ch degenerates to plain
+            # class-1 dice (softmax-2 argmax == p1 >= 0.5 == thr 0.5)
+            test_masks.append((np.asarray(s["mask"]) == 1)[..., None].astype(np.float32))
+        test_imgs = np.stack(test_imgs)  # (N, hw, hw, 3) already [-1,1]-ish
+        test_masks = np.stack(test_masks)  # (N, hw, hw, 1)
+        test_imgs_n = test_imgs
+
+    thr = 0.75 if is_fundus else 0.5
 
     def our_eval_dice():
         probs = np.asarray(predict(state, jnp.asarray(test_imgs)))
-        return _dice_2ch(probs, test_masks)
+        if not is_fundus:
+            probs = probs[..., 1:2]  # softmax class-1 probability
+        return _dice_2ch(probs, test_masks, thr)
 
     base_key = jax.random.PRNGKey(77)
     curves = {"step": [], "dice_ours": [], "dice_torch": [],
@@ -153,20 +184,23 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
     t0 = time.time()
     try:
       while i < steps:
-        it = build_train_loaders(cfg, os.path.join(root, "fundus"), seed=cfg.seed + epoch)
+        it = build_train_loaders(cfg, os.path.join(root, dataset), seed=cfg.seed + epoch)
         for batch in it:
             if i >= steps:
                 break
             batch = {k: np.asarray(v) for k, v in batch.items()
                      if k in ("img", "donor", "mask")}
-            # loaders yield uint8 multilabel masks; the torch twin's BCELoss
-            # wants float (the jitted step casts internally, torch won't)
-            batch["mask"] = batch["mask"].astype(np.float32)
+            # fundus loaders yield uint8 multilabel masks; the torch twin's
+            # BCELoss wants float (the jitted step casts, torch won't).
+            # Prostate masks stay int (the twin's CE wants class indices).
+            if is_fundus:
+                batch["mask"] = batch["mask"].astype(np.float32)
             key = jax.random.fold_in(base_key, i)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics, _ = step(state, jb, key)
             losses["ours"].append(float(np.asarray(metrics["loss"])))
-            img_n, img_freq = ram_augment_fundus(jb["img"], jb["donor"], key)
+            aug = ram_augment_fundus if is_fundus else ram_augment_prostate
+            img_n, img_freq = aug(jb["img"], jb["donor"], key)
             img_n, img_freq = np.asarray(img_n), np.asarray(img_freq)
             losses["torch"].append(twin.step(img_n, img_freq, batch["mask"])["loss"])
             env_losses = [
@@ -177,9 +211,12 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
             if i % eval_every == 0 or i == steps:
                 curves["step"].append(i)
                 curves["dice_ours"].append(our_eval_dice())
-                curves["dice_torch"].append(_torch_eval_dice(twin, test_imgs_n, test_masks))
-                curves["dice_env"].append(_torch_eval_dice(envs[0], test_imgs_n, test_masks))
-                curves["dice_env2"].append(_torch_eval_dice(envs[1], test_imgs_n, test_masks))
+                curves["dice_torch"].append(
+                    _torch_eval_dice(twin, test_imgs_n, test_masks, thr))
+                curves["dice_env"].append(
+                    _torch_eval_dice(envs[0], test_imgs_n, test_masks, thr))
+                curves["dice_env2"].append(
+                    _torch_eval_dice(envs[1], test_imgs_n, test_masks, thr))
                 print(
                     f"step {i:4d}: dice ours {curves['dice_ours'][-1]:.4f} "
                     f"torch {curves['dice_torch'][-1]:.4f} "
@@ -219,7 +256,7 @@ def run(steps=300, eval_every=25, hw=64, seed=0, out_json=""):
     loss_rel = abs(tails["ours"] - tails["torch"]) / max(abs(tails["torch"]), 1e-2)
     loss_ok = loss_rel <= loss_budget
     result = {
-        "steps": steps, "hw": hw, "eval_points": rows,
+        "dataset": dataset, "steps": steps, "hw": hw, "eval_points": rows,
         "tail_loss_mean": {k: round(v, 5) for k, v in tails.items()},
         "tail_loss_rel_diff": round(loss_rel, 5),
         "tail_loss_budget": round(loss_budget, 5),
@@ -241,8 +278,9 @@ def main(argv=None):
     p.add_argument("--hw", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_json", default="")
+    p.add_argument("--dataset", choices=("fundus", "prostate"), default="fundus")
     a = p.parse_args(argv)
-    r = run(a.steps, a.eval_every, a.hw, a.seed, a.out_json)
+    r = run(a.steps, a.eval_every, a.hw, a.seed, a.out_json, dataset=a.dataset)
     if r["overall"] != "PASS":
         sys.exit(1)
 

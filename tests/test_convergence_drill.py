@@ -13,8 +13,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from benchmarks.convergence_drill import run as drill_run  # noqa: E402
 
 
-def test_convergence_drill_smoke():
-    r = drill_run(steps=2, eval_every=2, hw=32)
+import pytest
+
+
+@pytest.mark.parametrize("dataset", ["fundus", "prostate"])
+def test_convergence_drill_smoke(dataset):
+    r = drill_run(steps=2, eval_every=2, hw=32, dataset=dataset)
+    assert r["dataset"] == dataset
     assert r["steps"] == 2
     assert len(r["eval_points"]) == 1
     p = r["eval_points"][0]
@@ -23,4 +28,6 @@ def test_convergence_drill_smoke():
         assert 0.0 <= p[k] <= 1.0
     assert r["overall"] in ("PASS", "FAIL")
     # two steps from identical init cannot diverge past the fp envelope
+    # (the first prostate smoke caught exactly this: a thr-0.75-vs-0.5
+    # eval mismatch read as a 0.26 dice divergence)
     assert r["overall"] == "PASS"
