@@ -297,7 +297,7 @@ class Encoder(_Base):
     """5-stage encoder, channels c -> n,2n,4n,8n,16n (unet.py:248-271).
 
     s2d_levels: how many TOP (highest-resolution, lowest-channel) stages
-    run in the 2x2 space-to-depth domain (0, 1 or 2).  The returned
+    run in the 2x2 space-to-depth domain (0-3).  The returned
     feature maps for those stages are PACKED (c-major, models/s2d.py) —
     Decoder must be built with the same s2d_levels.  Numerics are exactly
     equivalent to s2d_levels=0 (tests/test_s2d.py); the packing lifts the
@@ -316,7 +316,8 @@ class Encoder(_Base):
         self, x: jax.Array, *, train: bool = True, n_valid: Optional[int] = None
     ) -> List[jax.Array]:
         n = self.n
-        s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
+        s1, s2, s3 = (self.s2d_levels >= 1, self.s2d_levels >= 2,
+                      self.s2d_levels >= 3)
         kw = dict(train=train, n_valid=n_valid)
         d = self.dual
         x1 = ConvD(n, self.norm, first=True, activation=self.activation,
@@ -324,8 +325,9 @@ class Encoder(_Base):
         x2 = ConvD(2 * n, self.norm, activation=self.activation,
                    s2d=s2, s2d_in=s1, dual=d, name="convd2")(x1, **kw)
         x3 = ConvD(4 * n, self.norm, activation=self.activation,
-                   s2d_in=s2, dual=d, name="convd3")(x2, **kw)
-        x4 = ConvD(8 * n, self.norm, activation=self.activation, dual=d, name="convd4")(x3, **kw)
+                   s2d=s3, s2d_in=s2, dual=d, name="convd3")(x2, **kw)
+        x4 = ConvD(8 * n, self.norm, activation=self.activation,
+                   s2d_in=s3, dual=d, name="convd4")(x3, **kw)
         x5 = ConvD(16 * n, self.norm, activation=self.activation, dual=d, name="convd5")(x4, **kw)
         return [x1, x2, x3, x4, x5]
 
@@ -351,15 +353,16 @@ class Decoder(_Base):
         from ramdsir_tpu.models import s2d as s2d_ops
 
         n = self.n
-        s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
+        s1, s2, s3 = (self.s2d_levels >= 1, self.s2d_levels >= 2,
+                      self.s2d_levels >= 3)
         kw = dict(train=train, n_valid=n_valid)
         d = self.dual
         y4 = ConvU(16 * n, self.norm, first=True, activation=self.activation,
                    dual=d, name="convu4")(feats[-1], feats[-2], **kw)
         y3 = ConvU(8 * n, self.norm, activation=self.activation,
-                   dual=d, name="convu3")(y4, feats[-3], **kw)
+                   s2d=s3, dual=d, name="convu3")(y4, feats[-3], **kw)
         y2 = ConvU(4 * n, self.norm, activation=self.activation,
-                   s2d=s2, dual=d, name="convu2")(y3, feats[-4], **kw)
+                   s2d=s2, s2d_in=s3, dual=d, name="convu2")(y3, feats[-4], **kw)
         y1 = ConvU(2 * n, self.norm, activation=self.activation,
                    s2d=s1, s2d_in=s2, dual=d, name="convu1")(y2, feats[-5], **kw)
         out = self.conv(y1, self.num_classes, 3, "out1", self.activation, s2d=s1)
@@ -388,12 +391,14 @@ class RecDecoder(_Base):
         from ramdsir_tpu.models import s2d as s2d_ops
 
         n = self.n
-        s1, s2 = self.s2d_levels >= 1, self.s2d_levels >= 2
+        s1, s2, s3 = (self.s2d_levels >= 1, self.s2d_levels >= 2,
+                      self.s2d_levels >= 3)
         kw = dict(domain=domain, train=train, n_valid=n_valid)
         y4 = ConvURec(16 * n, self.norm, self.activation, self.num_domains, name="convu4")(x, **kw)
-        y3 = ConvURec(8 * n, self.norm, self.activation, self.num_domains, name="convu3")(y4, **kw)
+        y3 = ConvURec(8 * n, self.norm, self.activation, self.num_domains,
+                      s2d=s3, name="convu3")(y4, **kw)
         y2 = ConvURec(4 * n, self.norm, self.activation, self.num_domains,
-                      s2d=s2, name="convu2")(y3, **kw)
+                      s2d=s2, s2d_in=s3, name="convu2")(y3, **kw)
         y1 = ConvURec(2 * n, self.norm, self.activation, self.num_domains,
                       s2d=s1, s2d_in=s2, name="convu1")(y2, **kw)
         out = self.conv(y1, self.num_classes, 3, "out1", self.activation, s2d=s1)

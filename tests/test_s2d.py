@@ -147,10 +147,12 @@ def _close_trees(a, b, atol):
 
 
 class TestFullModels:
-    def test_encoder_decoder_equivalence(self):
+    @pytest.mark.parametrize("levels", [2, 3])
+    def test_encoder_decoder_equivalence(self, levels):
         x = _x(2, 32, 32, 3)
         enc0, dec0 = Encoder(n=8), Decoder(n=8)
-        enc2, dec2 = Encoder(n=8, s2d_levels=2), Decoder(n=8, s2d_levels=2)
+        enc2, dec2 = (Encoder(n=8, s2d_levels=levels),
+                      Decoder(n=8, s2d_levels=levels))
         ev = enc0.init(jax.random.PRNGKey(2), x, train=False)
         ev2 = enc2.init(jax.random.PRNGKey(2), x, train=False)
         for a, b in zip(jax.tree.leaves(ev), jax.tree.leaves(ev2)):
@@ -158,16 +160,13 @@ class TestFullModels:
 
         feats_ref, enc_ms = enc0.apply(ev, x, train=True, mutable=["batch_stats"])
         feats_s2d, enc_ms2 = enc2.apply(ev, x, train=True, mutable=["batch_stats"])
-        # top two maps come back packed; all five equal after unpack
-        np.testing.assert_allclose(
-            np.asarray(s2d_ops.unpack(feats_s2d[0])), np.asarray(feats_ref[0]), atol=3e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(s2d_ops.unpack(feats_s2d[1])), np.asarray(feats_ref[1]), atol=3e-5
-        )
-        for i in (2, 3, 4):
+        # top `levels` maps come back packed; all five equal after unpack
+        for i in range(5):
+            got = feats_s2d[i]
+            if i < levels:
+                got = s2d_ops.unpack(got)
             np.testing.assert_allclose(
-                np.asarray(feats_s2d[i]), np.asarray(feats_ref[i]), atol=5e-5
+                np.asarray(got), np.asarray(feats_ref[i]), atol=5e-5
             )
         _close_trees(enc_ms, enc_ms2, 3e-5)
 
@@ -180,11 +179,12 @@ class TestFullModels:
         _close_trees(out_ref[1], out_s2d[1], 5e-5)
 
     @pytest.mark.parametrize("seg_mode", [False, True])
-    def test_rec_decoder_equivalence(self, seg_mode):
+    @pytest.mark.parametrize("levels", [2, 3])
+    def test_rec_decoder_equivalence(self, seg_mode, levels):
         # scalar-domain mode AND vectorized segment-stat mode
         bott = _x(4, 2, 2, 128)
         rec0 = RecDecoder(n=8, num_domains=3)
-        rec2 = RecDecoder(n=8, num_domains=3, s2d_levels=2)
+        rec2 = RecDecoder(n=8, num_domains=3, s2d_levels=levels)
         domain = (
             jnp.asarray(np.array([0, 1, 1, 2]), jnp.int32)
             if seg_mode
@@ -234,7 +234,7 @@ class TestTrainStep:
             "mask": jnp.asarray((rng.uniform(size=(6, 32, 32, 2)) > 0.5).astype(np.float32)),
         }
         results = {}
-        for levels in (0, 2):
+        for levels in (0, 2, 3):
             cfg = dataclasses.replace(base, s2d_levels=levels)
             state, models = init_state(cfg, jax.random.PRNGKey(0))
             step = make_train_step(cfg, models, total_iters=100, batch_size_list=bsl)
@@ -242,19 +242,25 @@ class TestTrainStep:
             results[levels] = (state, metrics)
 
         s0, m0 = results[0]
-        s2, m2 = results[2]
-        for k in m0:
-            np.testing.assert_allclose(
-                np.asarray(m0[k]), np.asarray(m2[k]), rtol=5e-5, atol=1e-5, err_msg=k
-            )
-        # First Adam step is ~lr*sign(g) (v tiny), so fp reassociation can
-        # flip near-zero grads: bound the per-param delta by ~lr, like
-        # tests/test_fused_dual.py does.
-        lr = base.lr
-        for pa, pb in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s2.params)):
-            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=2.5 * lr)
-        for pa, pb in zip(jax.tree.leaves(s0.batch_stats), jax.tree.leaves(s2.batch_stats)):
-            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-5)
+        for lv in (2, 3):
+            s2, m2 = results[lv]
+            for k in m0:
+                np.testing.assert_allclose(
+                    np.asarray(m0[k]), np.asarray(m2[k]), rtol=5e-5, atol=1e-5,
+                    err_msg=f"levels={lv}: {k}",
+                )
+            # First Adam step is ~lr*sign(g) (v tiny), so fp reassociation can
+            # flip near-zero grads: bound the per-param delta by ~lr, like
+            # tests/test_fused_dual.py does.
+            lr = base.lr
+            for pa, pb in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s2.params)):
+                np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=2.5 * lr)
+            for pa, pb in zip(
+                jax.tree.leaves(s0.batch_stats), jax.tree.leaves(s2.batch_stats)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-5
+                )
 
 
 def test_packconv2_custom_vjp_matches_autodiff():
